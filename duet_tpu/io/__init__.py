@@ -1,0 +1,16 @@
+from duet_tpu.io.bgzf import BgzfReader, BgzfWriter, is_bgzf
+from duet_tpu.io.fasta import FastaFile, write_fasta, write_fai
+from duet_tpu.io.bam import (
+    BamHeader,
+    BamRead,
+    BamReader,
+    BamWriter,
+    write_bai_stub,
+)
+from duet_tpu.io.vcf import (
+    SVRecord,
+    list_chroms,
+    open_maybe_gzip,
+    parse_sv_vcf,
+    read_vcf_lines,
+)
