@@ -4,7 +4,10 @@ initializes, so sharding/collective paths are exercised without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the shell pre-sets a TPU platform: tests must be
+# hermetic and fast. Set DUET_TPU_TEST_REAL=1 to run against real hardware.
+if not os.environ.get("DUET_TPU_TEST_REAL"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
