@@ -1,0 +1,78 @@
+"""Command-line entry point: `duet-tpu <BAM> <REFERENCE.fa> <OUTPUT_DIR>`.
+
+Flag-for-flag parity with the reference CLI (src/duet/utils.py:19-44,
+README.md:50-63): same positionals, same short options, same defaults —
+a reference user can swap the binary name and keep their invocation.
+Framework-only options are long-form (--resume, --host-kernel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from duet_tpu.pipeline import PipelineConfig, run_pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="duet-tpu",
+        description=(
+            "TPU-native SNP-assisted structural-variant calling and phasing: "
+            "sorted indexed BAM + indexed FASTA -> phased_sv.vcf"
+        ),
+    )
+    p.add_argument("BAM", help="sorted, indexed BAM of aligned long reads")
+    p.add_argument("REFERENCE", help="indexed reference FASTA")
+    p.add_argument("OUTPUT", help="output directory")
+    p.add_argument("-t", "--threads", type=int, default=4,
+                   help="host worker threads (default 4)")
+    p.add_argument("-m", "--min_allele_frequency", type=float, default=0.25,
+                   help="min allele frequency for SNP calling (default 0.25)")
+    p.add_argument("-c", "--cluster_max_distance", type=float, default=0.9,
+                   help="span-position cluster distance for the svim-style "
+                        "linkage (default 0.9)")
+    p.add_argument("-s", "--sv_min_size", type=int, default=50,
+                   help="min SV size to call (default 50)")
+    p.add_argument("-r", "--min_support_read", type=int, default=2,
+                   help="min supporting reads per SV (default 2)")
+    p.add_argument("-a", "--include_all_ctgs", action="store_true",
+                   help="process all contigs, not just chr1-22/X/Y")
+    p.add_argument("-b", "--sv_caller", default="cutesv",
+                   choices=["cutesv", "sniffles", "svim"],
+                   help="signature-clustering mode: cutesv/sniffles = gap "
+                        "linkage, svim = span-position linkage (default cutesv)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip stages whose artifacts already exist in OUTPUT")
+    p.add_argument("--host-kernel", action="store_true",
+                   help="run the decision stage on host (float64) instead of "
+                        "the device kernel")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = PipelineConfig(
+        bam=args.BAM,
+        reference=args.REFERENCE,
+        output=args.OUTPUT,
+        threads=args.threads,
+        min_allele_frequency=args.min_allele_frequency,
+        cluster_max_distance=args.cluster_max_distance,
+        sv_min_size=args.sv_min_size,
+        min_support_read=args.min_support_read,
+        include_all_ctgs=args.include_all_ctgs,
+        sv_caller=args.sv_caller,
+        resume=args.resume,
+        use_device_kernel=not args.host_kernel,
+    )
+    try:
+        run_pipeline(cfg)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

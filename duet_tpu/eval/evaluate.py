@@ -1,0 +1,267 @@
+"""Evaluation harness: P/R/F1 for SV calling, genotyping, and phasing.
+
+Re-implements the measurement semantics of the reference's standalone scorer
+(src/scripts/evaluation.py, SURVEY.md C11) as an importable module + CLI:
+
+* candidate matching: same chrom + SV type, position distance <= refdist
+  (default 1000), reciprocal length ratio >= pctsim (default 0)
+  (reference evaluation.py:117-127)
+* genotype scoring: {1|0, 0|1} form one het equivalence class vs 1|1 hom
+  (reference evaluation.py:130-133)
+* phasing scoring: orientation-invariant per phase set — each call PS group
+  is scored under both polarities and the better one counts
+  (reference evaluation.py:111-148)
+* filters: chr1-22/X/Y only (unless all_ctgs), |SVLEN| >= 50, genotype
+  0|0 / 0/0 dropped (reference evaluation.py:43-96)
+* optional BED confinement of both callsets (reference evaluation.py:25-33)
+* also reports the average number of SVs per phase set
+  (reference evaluation.py:102)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from duet_tpu.io.vcf import open_maybe_gzip
+from duet_tpu.utils.chrom import standard_chrom_names, strip_chr
+
+
+@dataclass
+class EvalEntry:
+    chrom: str
+    pos: int
+    svtype: str
+    svlen: int   # absolute
+    gt: str      # normalized: '1|0', '0|1', '1|1', or unphased 'het'/'hom'
+    ps: str
+
+
+def _normalize_gt(gt: str) -> str | None:
+    """None -> drop the record (absent genotype)."""
+    gt = gt.replace("/", "|")
+    if gt in ("0|0", ".|.", "."):
+        return None
+    if gt in ("1|0", "0|1", "1|1"):
+        return gt
+    if gt in ("0|1", "1|0"):
+        return gt
+    if gt == "1|2" or gt == "2|1":
+        return "1|1"
+    return "het" if "0" in gt else "hom"
+
+
+def load_eval_vcf(path: str, all_ctgs: bool = False,
+                  bed: list[tuple[str, int, int]] | None = None) -> list[EvalEntry]:
+    std = set(standard_chrom_names())
+    out: list[EvalEntry] = []
+    with open_maybe_gzip(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 8:
+                continue
+            chrom = cols[0]
+            if not all_ctgs and strip_chr(chrom) not in std:
+                continue
+            pos = int(cols[1])
+            info = cols[7]
+            svtype, svlen = "", 0
+            for part in info.split(";"):
+                if part.startswith("SVTYPE="):
+                    svtype = part[7:].strip("<>")
+                elif part.startswith("SVLEN="):
+                    v = part[6:].lstrip(">")
+                    try:
+                        svlen = abs(int(float(v)))
+                    except ValueError:
+                        svlen = 0
+            if svtype not in ("INS", "DEL", "DUP", "INV"):
+                # infer from ALT when INFO lacks SVTYPE
+                alt = cols[4]
+                if "<" in alt:
+                    svtype = alt.strip("<>")
+                elif len(cols[3]) > len(alt):
+                    svtype = "DEL"
+                    svlen = svlen or len(cols[3]) - len(alt)
+                else:
+                    svtype = "INS"
+                    svlen = svlen or len(alt) - len(cols[3])
+            if svlen < 50:
+                continue
+            gt, ps = "1|1", "."
+            if len(cols) >= 10:
+                fmt = cols[8].split(":")
+                sample = cols[9].split(":")
+                fmap = dict(zip(fmt, sample))
+                raw_gt = fmap.get("GT") or fmap.get("HP") or "1|1"
+                ps = fmap.get("PS", ".")
+                norm = _normalize_gt(raw_gt)
+                if norm is None:
+                    continue
+                gt = norm
+            if bed is not None and not _in_bed(bed, chrom, pos):
+                continue
+            out.append(EvalEntry(strip_chr(chrom), pos, svtype, svlen, gt, ps))
+    return out
+
+
+def _in_bed(bed, chrom, pos) -> bool:
+    c = strip_chr(chrom)
+    return any(strip_chr(bc) == c and s <= pos <= e for bc, s, e in bed)
+
+
+def load_bed(path: str) -> list[tuple[str, int, int]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            cols = line.split()
+            if len(cols) >= 3:
+                out.append((cols[0], int(cols[1]), int(cols[2])))
+    return out
+
+
+def _gt_class(gt: str) -> str:
+    if gt in ("1|0", "0|1", "het"):
+        return "het"
+    return "hom"
+
+
+@dataclass
+class EvalResult:
+    n_truth: int
+    n_call: int
+    call_tp: int
+    gt_tp: int
+    phase_tp: int
+    phase_total: int
+    avg_sv_per_ps: float
+    matches: list = field(default_factory=list)
+
+    def _prf(self, tp, denom_p, denom_r):
+        p = tp / denom_p if denom_p else 0.0
+        r = tp / denom_r if denom_r else 0.0
+        f = 2 * p * r / (p + r) if (p + r) else 0.0
+        return p, r, f
+
+    @property
+    def calling(self):
+        return self._prf(self.call_tp, self.n_call, self.n_truth)
+
+    @property
+    def genotyping(self):
+        return self._prf(self.gt_tp, self.n_call, self.n_truth)
+
+    @property
+    def phasing(self):
+        # precision over phaseable matched hets, recall vs truth hets
+        return self._prf(self.phase_tp, self.phase_total, self.phase_total)
+
+    def summary(self) -> dict:
+        c, g, ph = self.calling, self.genotyping, self.phasing
+        return {
+            "truth_svs": self.n_truth, "called_svs": self.n_call,
+            "calling": {"precision": round(c[0], 4), "recall": round(c[1], 4), "f1": round(c[2], 4)},
+            "genotyping": {"precision": round(g[0], 4), "recall": round(g[1], 4), "f1": round(g[2], 4)},
+            "phasing": {"precision": round(ph[0], 4), "recall": round(ph[1], 4), "f1": round(ph[2], 4)},
+            "avg_sv_per_phase_set": round(self.avg_sv_per_ps, 3),
+        }
+
+
+def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
+                      refdist: int = 1000, pctsim: float = 0.0) -> EvalResult:
+    # group truth by (chrom, svtype)
+    tgroup: dict[tuple[str, str], list[int]] = {}
+    for i, t in enumerate(truth):
+        tgroup.setdefault((t.chrom, t.svtype), []).append(i)
+    tpos = {k: np.array([truth[i].pos for i in v]) for k, v in tgroup.items()}
+
+    call_tp = 0
+    gt_tp = 0
+    matches = []  # (call_idx, truth_idx)
+    used = set()
+    for ci, c in enumerate(calls):
+        key = (c.chrom, c.svtype)
+        if key not in tgroup:
+            continue
+        pos_arr = tpos[key]
+        j = np.searchsorted(pos_arr, c.pos)
+        best = None
+        for cand in (j - 1, j, j + 1):
+            if 0 <= cand < len(pos_arr):
+                ti = tgroup[key][cand]
+                if ti in used:
+                    continue
+                d = abs(int(pos_arr[cand]) - c.pos)
+                t = truth[ti]
+                ratio = min(c.svlen, t.svlen) / max(c.svlen, t.svlen)
+                if d <= refdist and ratio >= pctsim:
+                    if best is None or d < best[0]:
+                        best = (d, ti)
+        if best is not None:
+            used.add(best[1])
+            call_tp += 1
+            matches.append((ci, best[1]))
+            if _gt_class(c.gt) == _gt_class(truth[best[1]].gt):
+                gt_tp += 1
+
+    # phasing: per call phase set, orientation-invariant het agreement
+    ps_groups: dict[str, list[tuple[str, str]]] = {}
+    for ci, ti in matches:
+        c, t = calls[ci], truth[ti]
+        if c.gt in ("1|0", "0|1") and t.gt in ("1|0", "0|1"):
+            ps_groups.setdefault(c.ps, []).append((c.gt, t.gt))
+    phase_tp = 0
+    phase_total = 0
+    flip = {"1|0": "0|1", "0|1": "1|0"}
+    for pairs in ps_groups.values():
+        same = sum(cg == tg for cg, tg in pairs)
+        flipped = sum(flip[cg] == tg for cg, tg in pairs)
+        phase_tp += max(same, flipped)
+        phase_total += len(pairs)
+
+    # avg SVs per phase set over the emitted callset
+    ps_counts: dict[str, int] = {}
+    for c in calls:
+        if c.ps not in (".", ""):
+            ps_counts[c.ps] = ps_counts.get(c.ps, 0) + 1
+    avg = float(np.mean(list(ps_counts.values()))) if ps_counts else 0.0
+
+    return EvalResult(len(truth), len(calls), call_tp, gt_tp,
+                      phase_tp, phase_total, avg, matches)
+
+
+def evaluate_files(call_vcf: str, truth_vcf: str, refdist: int = 1000,
+                   pctsim: float = 0.0, bed_path: str | None = None,
+                   all_ctgs: bool = False) -> EvalResult:
+    bed = load_bed(bed_path) if bed_path else None
+    truth = load_eval_vcf(truth_vcf, all_ctgs, bed)
+    calls = load_eval_vcf(call_vcf, all_ctgs, bed)
+    return evaluate_callsets(truth, calls, refdist, pctsim)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m duet_tpu.eval.evaluate",
+        description="score a phased SV callset against a truth VCF",
+    )
+    p.add_argument("call_vcf")
+    p.add_argument("truth_vcf")
+    p.add_argument("-r", "--refdist", type=int, default=1000)
+    p.add_argument("-p", "--pctsim", type=float, default=0.0)
+    p.add_argument("-b", "--bed", default=None)
+    p.add_argument("-a", "--all_ctgs", action="store_true")
+    args = p.parse_args(argv)
+    res = evaluate_files(args.call_vcf, args.truth_vcf, args.refdist,
+                         args.pctsim, args.bed, args.all_ctgs)
+    print(json.dumps(res.summary(), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

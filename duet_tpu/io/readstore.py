@@ -1,0 +1,131 @@
+"""Packed column-store of aligned reads: the framework's ingest layer.
+
+The reference re-reads the BAM once per stage and per chromosome through
+external tools (samtools text dump at sv_phasing_fn.py:25, whatshap haplotag
+--regions per contig at snp_phasing.py:27-29 — the dominant redundant-I/O
+cost called out in SURVEY.md §3.3).  Here the BAM is decoded ONCE into a
+structure-of-arrays read store; every downstream stage (pileup SNP calling,
+SV-signature extraction, allele-matrix construction, haplotagging) consumes
+the same packed arrays, and device stages upload slices of them directly.
+
+Layout (per contig):
+  starts/ends     (n,) int64   0-based ref span of each read
+  strand          (n,) uint8
+  mapq            (n,) uint8
+  names           list[str]    read names (kept host-side only)
+  cigar_ops/lens  ragged int32 via cigar_off offsets
+  seq             ragged uint8 base codes via seq_off offsets
+  qual            ragged uint8 phred via seq_off offsets
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from duet_tpu.io.bam import (
+    CONSUMES_QUERY,
+    CONSUMES_REF,
+    BamReader,
+)
+
+
+@dataclass
+class ContigReads:
+    """All primary mapped reads of one contig, packed as columns."""
+
+    contig: str
+    n: int
+    names: list[str]
+    starts: np.ndarray      # (n,) int64
+    ends: np.ndarray        # (n,) int64, exclusive
+    strand: np.ndarray      # (n,) uint8
+    mapq: np.ndarray        # (n,) uint8
+    cigar_off: np.ndarray   # (n+1,) int64 into cigar_ops/cigar_lens
+    cigar_ops: np.ndarray   # (total_ops,) int8
+    cigar_lens: np.ndarray  # (total_ops,) int32
+    seq_off: np.ndarray     # (n+1,) int64 into seq/qual
+    seq: np.ndarray         # (total_bases,) uint8 codes A0 C1 G2 T3 N4
+    qual: np.ndarray        # (total_bases,) uint8
+
+
+@dataclass
+class ReadStore:
+    contigs: dict[str, ContigReads]
+    contig_lengths: dict[str, int]
+
+    def names_all(self) -> list[str]:
+        out = []
+        for c in self.contigs.values():
+            out.extend(c.names)
+        return out
+
+
+def load_read_store(bam_path: str, min_mapq: int = 0) -> ReadStore:
+    """Single-pass BAM decode -> per-contig packed arrays.
+
+    Keeps primary mapped alignments only (the reference's haplotag join also
+    sees supplementary reads via --tag-supplementary, but their signatures
+    duplicate the primary's; revisit when split-read SV evidence lands)."""
+    per: dict[str, list] = {}
+    with BamReader(bam_path) as r:
+        ref_names = r.header.ref_names
+        contig_lengths = dict(zip(ref_names, r.header.ref_lengths))
+        for read in r:
+            if not read.is_mapped or not read.is_primary:
+                continue
+            if read.mapq < min_mapq or read.ref_id < 0:
+                continue
+            per.setdefault(ref_names[read.ref_id], []).append(read)
+
+    contigs: dict[str, ContigReads] = {}
+    for contig, reads in per.items():
+        reads.sort(key=lambda rd: rd.pos)
+        n = len(reads)
+        names = [rd.name for rd in reads]
+        starts = np.array([rd.pos for rd in reads], dtype=np.int64)
+        ends = np.array([rd.ref_end() for rd in reads], dtype=np.int64)
+        strand = np.array([(rd.flag >> 4) & 1 for rd in reads], dtype=np.uint8)
+        mapq = np.array([rd.mapq for rd in reads], dtype=np.uint8)
+        cigar_off = np.zeros(n + 1, dtype=np.int64)
+        seq_off = np.zeros(n + 1, dtype=np.int64)
+        for i, rd in enumerate(reads):
+            cigar_off[i + 1] = cigar_off[i] + len(rd.cigar)
+            seq_off[i + 1] = seq_off[i] + len(rd.seq_codes)
+        cigar_ops = np.empty(cigar_off[-1], dtype=np.int8)
+        cigar_lens = np.empty(cigar_off[-1], dtype=np.int32)
+        seq = np.empty(seq_off[-1], dtype=np.uint8)
+        qual = np.empty(seq_off[-1], dtype=np.uint8)
+        for i, rd in enumerate(reads):
+            if len(rd.cigar):
+                cigar_ops[cigar_off[i]:cigar_off[i + 1]] = rd.cigar[:, 0]
+                cigar_lens[cigar_off[i]:cigar_off[i + 1]] = rd.cigar[:, 1]
+            seq[seq_off[i]:seq_off[i + 1]] = rd.seq_codes
+            qual[seq_off[i]:seq_off[i + 1]] = rd.quals
+        contigs[contig] = ContigReads(
+            contig, n, names, starts, ends, strand, mapq,
+            cigar_off, cigar_ops, cigar_lens, seq_off, seq, qual,
+        )
+    return ReadStore(contigs, contig_lengths)
+
+
+def aligned_segments(cr: ContigReads, i: int) -> np.ndarray:
+    """Match (M/=/X) segments of read i as rows [ref_start, query_start, length].
+
+    The coordinate bridge every consumer shares: pileup counting, allele
+    lookup at SNP sites, and ref-coverage tests all walk these segments."""
+    ops = cr.cigar_ops[cr.cigar_off[i]:cr.cigar_off[i + 1]]
+    lens = cr.cigar_lens[cr.cigar_off[i]:cr.cigar_off[i + 1]]
+    ref_pos = np.int64(cr.starts[i])
+    q_pos = np.int64(0)
+    rows = []
+    for op, ln in zip(ops, lens):
+        is_match = op in (0, 7, 8)
+        if is_match:
+            rows.append((ref_pos, q_pos, ln))
+        if CONSUMES_REF[op]:
+            ref_pos += ln
+        if CONSUMES_QUERY[op]:
+            q_pos += ln
+    return np.array(rows, dtype=np.int64).reshape(-1, 3)

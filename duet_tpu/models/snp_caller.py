@@ -1,0 +1,191 @@
+"""Pileup SNP caller — the framework's SNP-calling stage.
+
+Stands in for the reference's external Clair3 invocation in pileup-only,
+call-snp-only mode (reference src/duet/snp_calling.py:13-17): the downstream
+contract is just a VCF of SNP sites with genotypes at min allele frequency
+`maf`, which a counting pileup provides directly.  Counting is one
+scatter-add over (position, base) pairs — the JAX/TPU formulation in
+duet_tpu.ops.pileup; this module hosts the numpy path plus site calling and
+pileup.vcf.gz emission.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from duet_tpu.io.readstore import ContigReads, ReadStore, aligned_segments
+from duet_tpu.io.vcf import write_vcf
+
+BASES = "ACGT"
+
+
+@dataclass
+class SnpCallConfig:
+    min_af: float = 0.25          # reference -m / --snp_min_af default
+    min_depth: int = 4
+    hom_af: float = 0.75          # alt fraction above which a site is hom-alt
+    min_base_qual: int = 10
+    min_mapq: int = 10
+
+
+@dataclass
+class ContigSnps:
+    """Called SNP sites of one contig (0-based positions)."""
+
+    contig: str
+    pos: np.ndarray       # (m,) int64
+    ref_code: np.ndarray  # (m,) uint8
+    alt_code: np.ndarray  # (m,) uint8
+    is_het: np.ndarray    # (m,) bool
+    depth: np.ndarray     # (m,) int32
+    alt_count: np.ndarray # (m,) int32
+
+
+def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
+    """Flatten all aligned (M/=/X) bases of a contig into parallel arrays
+    (ref_pos, base_code, qual, read_index) — the scatter feed for counting
+    and, later, the gather feed for the allele matrix."""
+    pos_parts, base_parts, qual_parts, read_parts = [], [], [], []
+    for i in range(cr.n):
+        if cr.mapq[i] < cfg.min_mapq:
+            continue
+        segs = aligned_segments(cr, i)
+        q0 = cr.seq_off[i]
+        for rs, qs, ln in segs:
+            pos_parts.append(np.arange(rs, rs + ln, dtype=np.int64))
+            base_parts.append(cr.seq[q0 + qs: q0 + qs + ln])
+            qual_parts.append(cr.qual[q0 + qs: q0 + qs + ln])
+            read_parts.append(np.full(ln, i, dtype=np.int32))
+    if not pos_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.uint8), z.astype(np.uint8), z.astype(np.int32)
+    return (
+        np.concatenate(pos_parts),
+        np.concatenate(base_parts),
+        np.concatenate(qual_parts),
+        np.concatenate(read_parts),
+    )
+
+
+def count_alleles(positions, bases, quals, length: int, min_base_qual: int) -> np.ndarray:
+    """(L, 4) allele counts; N bases and low-qual bases are dropped."""
+    keep = (bases < 4) & (quals >= min_base_qual)
+    key = positions[keep] * 4 + bases[keep]
+    return np.bincount(key, minlength=length * 4).reshape(length, 4)
+
+
+def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
+              cfg: SnpCallConfig) -> ContigSnps:
+    """Frequency-based site calling over the (L,4) count matrix."""
+    L = len(ref_codes)
+    depth = counts.sum(axis=1)
+    ref_safe = np.minimum(ref_codes, 3).astype(np.int64)
+    idx = np.arange(L)
+    ref_count = counts[idx, ref_safe]
+    nonref = counts.copy()
+    nonref[idx, ref_safe] = -1
+    alt_code = nonref.argmax(axis=1)
+    alt_count = counts[idx, alt_code]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        af = np.where(depth > 0, alt_count / np.maximum(depth, 1), 0.0)
+    is_site = (
+        (depth >= cfg.min_depth)
+        & (af >= cfg.min_af)
+        & (alt_count >= 2)
+        & (ref_codes < 4)
+        & (alt_code != ref_safe)
+    )
+    pos = np.flatnonzero(is_site).astype(np.int64)
+    return ContigSnps(
+        contig=contig,
+        pos=pos,
+        ref_code=ref_codes[pos].astype(np.uint8),
+        alt_code=alt_code[pos].astype(np.uint8),
+        is_het=af[pos] < cfg.hom_af,
+        depth=depth[pos].astype(np.int32),
+        alt_count=alt_count[pos].astype(np.int32),
+    )
+
+
+def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
+                        cfg: SnpCallConfig | None = None) -> dict[str, ContigSnps]:
+    """ref_codes: per-contig uint8 base-code arrays (FastaFile.fetch_codes)."""
+    cfg = cfg or SnpCallConfig()
+    out: dict[str, ContigSnps] = {}
+    for contig, cr in store.contigs.items():
+        if contig not in ref_codes:
+            continue
+        codes = ref_codes[contig]
+        positions, bases, quals, _ = pileup_observations(cr, cfg)
+        counts = count_alleles(positions, bases, quals, len(codes), cfg.min_base_qual)
+        out[contig] = call_snps(contig, counts, codes, cfg)
+    return out
+
+
+def write_pileup_vcf(path: str, snps: dict[str, ContigSnps],
+                     contig_lengths: dict[str, int]) -> None:
+    """pileup.vcf(.gz) in the shape downstream stages consume
+    (mirrors the artifact contract of reference snp_calling.py:11)."""
+    header = [
+        "##fileformat=VCFv4.2",
+        "##source=duet_tpu.snp_caller",
+    ] + [
+        f"##contig=<ID={c},length={contig_lengths.get(c, 0)}>" for c in snps
+    ] + [
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+        '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allele depths">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE",
+    ]
+    records = []
+    for contig, s in snps.items():
+        for k in range(len(s.pos)):
+            gt = "0/1" if s.is_het[k] else "1/1"
+            records.append(
+                f"{contig}\t{s.pos[k] + 1}\t.\t{BASES[s.ref_code[k]]}\t"
+                f"{BASES[s.alt_code[k]]}\t{s.alt_count[k]}\tPASS\t.\t"
+                f"GT:DP:AD\t{gt}:{s.depth[k]}:"
+                f"{s.depth[k] - s.alt_count[k]},{s.alt_count[k]}"
+            )
+    write_vcf(path, header, records)
+
+
+def read_pileup_vcf(path: str) -> dict[str, ContigSnps]:
+    """Inverse of write_pileup_vcf, for resume-from-artifacts."""
+    from duet_tpu.io.vcf import open_maybe_gzip
+
+    code = {b: i for i, b in enumerate(BASES)}
+    per: dict[str, list] = {}
+    with open_maybe_gzip(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            cols = line.split()
+            sample = cols[9].split(":")
+            per.setdefault(cols[0], []).append((
+                int(cols[1]) - 1, code.get(cols[3], 4), code.get(cols[4], 4),
+                sample[0] == "0/1", int(sample[1]),
+                int(sample[2].split(",")[1]),
+            ))
+    out = {}
+    for contig, rows in per.items():
+        a = list(zip(*rows))
+        out[contig] = ContigSnps(
+            contig,
+            np.array(a[0], dtype=np.int64),
+            np.array(a[1], dtype=np.uint8),
+            np.array(a[2], dtype=np.uint8),
+            np.array(a[3], dtype=bool),
+            np.array(a[4], dtype=np.int32),
+            np.array(a[5], dtype=np.int32),
+        )
+    return out
+
+
+def load_reference_codes(fasta_path: str) -> dict[str, np.ndarray]:
+    from duet_tpu.io.fasta import FastaFile
+
+    fa = FastaFile(fasta_path)
+    return {name: fa.fetch_codes(name) for name in fa.contig_names}

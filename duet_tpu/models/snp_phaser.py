@@ -1,0 +1,295 @@
+"""SNP phasing + per-read haplotagging — the framework's phasing stage.
+
+Replaces the reference's external WhatsHap invocations (`whatshap phase` +
+`whatshap haplotag`, reference src/duet/snp_phasing.py:22-29) with an
+in-framework algorithm designed around a TPU-friendly formulation:
+
+  A : (reads x het-sites) allele matrix, A[r,j] = +1 (read shows alt),
+      -1 (read shows ref), 0 (site not covered) — weighted by base quality.
+
+  *Phasing* finds per-site phase[j] in {+1,-1} ("alt on hap1"/"alt on hap2");
+  *haplotagging* assigns each read hap_r = sign(A @ phase).  Both are steps
+  of the same rank-1 power iteration on A (site update: phase = sign(A^T h);
+  read update: h = sign(A phase)) — i.e. repeated matvecs/matmuls, which is
+  exactly what the MXU wants.  The initial iterate comes from adjacent-site
+  cis/trans vote chaining, which also delimits phase-set blocks (PS):
+  consecutive het sites sharing no read start a new block, PS = 1-based
+  position of the block's first site (WhatsHap's PS convention).
+
+Per-read outputs mirror the HP/PC/PS tags the reference consumes
+(sv_phasing_fn.py:26-29): HP in {1,2}; PS; and PC — a phasing confidence.
+The decision stage treats per-read PC sums as *evidence magnitude* (side
+with avg PC > 0 wins a het call; `onehap_totsc != 0` means evidence on
+exactly one haplotype; thresholds 1369.50 / 2400 / 9.72 operate on PC means
+and ratios — sv_phasing_fn.py:112-183), so PC must be strictly positive for
+a tagged read and land on the same hundreds-to-thousands scale as WhatsHap's
+phasing-cost margins.  Definition here: PC = clip(round(10 * margin), 1,
+8100) where margin is the quality-weighted site-agreement surplus of the
+assigned haplotype over the other.  Capping at 8100 means every tagged read
+passes the decision stage's `pc <= 8100` evidence cut (sv_phasing_fn.py:76)
+— the cut's exclusion role applies to WhatsHap's uncapped outliers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from duet_tpu.io.readstore import ContigReads
+from duet_tpu.models.snp_caller import ContigSnps, SnpCallConfig, pileup_observations
+
+PC_PER_MARGIN = 10   # phred-like scale: PC = 10 * quality-weighted margin
+PC_MAX = 8100        # cap = the decision stage's evidence cut
+
+
+@dataclass
+class AlleleMatrix:
+    """Sparse COO (reads x het sites) allele observations for one contig."""
+
+    n_reads: int
+    n_sites: int
+    site_pos: np.ndarray   # (m,) int64 0-based positions of het sites
+    row: np.ndarray        # (nnz,) int32 read index
+    col: np.ndarray        # (nnz,) int32 site index
+    allele: np.ndarray     # (nnz,) int8 +1 alt / -1 ref
+    weight: np.ndarray     # (nnz,) float32 base-quality weight
+
+
+@dataclass
+class PhaseResult:
+    """Per-site phasing + per-read haplotags for one contig."""
+
+    site_pos: np.ndarray    # (m,) int64
+    phase: np.ndarray       # (m,) int8 +1 alt-on-hap1 / -1 alt-on-hap2 / 0 unphased
+    block_id: np.ndarray    # (m,) int32 phase-set block index, -1 unphased
+    block_ps: np.ndarray    # (nblocks,) int64 PS value (1-based pos of first site)
+    read_hap: np.ndarray    # (n_reads,) int8 1/2, 0 untagged
+    read_ps: np.ndarray     # (n_reads,) int64 PS of assigned block, -1 untagged
+    read_pc: np.ndarray     # (n_reads,) int32 phasing cost, -1 untagged
+
+
+def build_allele_matrix(cr: ContigReads, snps: ContigSnps,
+                        cfg: SnpCallConfig | None = None) -> AlleleMatrix:
+    """Intersect every aligned base with the het-SNP site list.
+
+    Uses the same flattened (pos, base, qual, read) observation stream as the
+    pileup counter — one ingest pass serves both stages."""
+    cfg = cfg or SnpCallConfig()
+    het = np.flatnonzero(snps.is_het)
+    site_pos = snps.pos[het]
+    ref_c = snps.ref_code[het]
+    alt_c = snps.alt_code[het]
+    m = len(site_pos)
+    if m == 0 or cr.n == 0:
+        z = np.zeros(0, dtype=np.int32)
+        return AlleleMatrix(cr.n, 0, site_pos, z, z,
+                            z.astype(np.int8), z.astype(np.float32))
+
+    positions, bases, quals, read_idx = pileup_observations(cr, cfg)
+    j = np.searchsorted(site_pos, positions)
+    j_ok = (j < m)
+    j_clip = np.minimum(j, m - 1)
+    at_site = j_ok & (site_pos[j_clip] == positions)
+    j = j_clip[at_site]
+    b = bases[at_site]
+    q = quals[at_site]
+    r = read_idx[at_site]
+    is_alt = b == alt_c[j]
+    is_ref = b == ref_c[j]
+    informative = (is_alt | is_ref) & (q >= cfg.min_base_qual)
+    return AlleleMatrix(
+        n_reads=cr.n,
+        n_sites=m,
+        site_pos=site_pos,
+        row=r[informative].astype(np.int32),
+        col=j[informative].astype(np.int32),
+        allele=np.where(is_alt[informative], 1, -1).astype(np.int8),
+        weight=np.minimum(q[informative], 40).astype(np.float32),
+    )
+
+
+def _adjacent_link_votes(am: AlleleMatrix):
+    """For each consecutive site pair (j, j+1): quality-weighted cis minus
+    trans evidence from reads covering both, and the total link count."""
+    m = am.n_sites
+    cis = np.zeros(max(m - 1, 0), dtype=np.float64)
+    links = np.zeros(max(m - 1, 0), dtype=np.int64)
+    if m < 2 or len(am.row) == 0:
+        return cis, links
+    order = np.lexsort((am.col, am.row))
+    r, c = am.row[order], am.col[order]
+    a, w = am.allele[order], am.weight[order]
+    adj = (r[1:] == r[:-1]) & (c[1:] == c[:-1] + 1)
+    pair_j = c[:-1][adj]
+    signed = (a[1:] * a[:-1])[adj] * np.minimum(w[1:], w[:-1])[adj]
+    np.add.at(cis, pair_j, signed)
+    np.add.at(links, pair_j, 1)
+    return cis, links
+
+
+def _initial_phase(am: AlleleMatrix):
+    """Chain phasing: phase[0]=+1 per block; each next site's phase flips when
+    trans evidence outweighs cis. Blocks break where no read links the pair."""
+    m = am.n_sites
+    phase = np.zeros(m, dtype=np.int8)
+    block_id = np.full(m, -1, dtype=np.int32)
+    if m == 0:
+        return phase, block_id, np.zeros(0, dtype=np.int64)
+    cis, links = _adjacent_link_votes(am)
+    covered = np.zeros(m, dtype=bool)
+    if len(am.col):
+        covered[np.unique(am.col)] = True
+    new_block = np.ones(m, dtype=bool)
+    new_block[1:] = links == 0
+    bid = np.cumsum(new_block) - 1
+    # phase = running parity of rel within the block
+    rel = np.ones(m, dtype=np.int8)
+    rel[1:] = np.where(cis >= 0, 1, -1)
+    rel[new_block] = 1
+    flip = np.cumsum(rel < 0)  # count of flips up to and incl. j
+    # parity within block: flips since block start
+    block_start_flip = flip.copy()
+    starts = np.flatnonzero(new_block)
+    block_start_flip = flip[starts][bid]
+    phase = np.where((flip - block_start_flip) % 2 == 0, 1, -1).astype(np.int8)
+    phase[~covered] = 0
+    block_id = np.where(covered, bid, -1).astype(np.int32)
+    # PS per block: 1-based position of first covered site in block
+    nblocks = int(bid[-1]) + 1
+    block_ps = np.zeros(nblocks, dtype=np.int64)
+    cov_idx = np.flatnonzero(covered)
+    if len(cov_idx):
+        blocks, first = np.unique(bid[cov_idx], return_index=True)
+        block_ps[blocks] = am.site_pos[cov_idx[first]] + 1
+    return phase, block_id, block_ps
+
+
+def _power_refine(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
+                  sweeps: int = 2):
+    """Alternating majority updates (read haps <-> site phases), restricted so
+    sites never change blocks. Equivalent to the device kernel's matmul power
+    iteration (duet_tpu.ops.haplotag) on the sparse layout."""
+    av = am.allele.astype(np.float64) * am.weight
+    for _ in range(sweeps):
+        s = np.zeros(am.n_reads, dtype=np.float64)
+        np.add.at(s, am.row, av * phase[am.col])
+        h = np.sign(s)
+        v = np.zeros(am.n_sites, dtype=np.float64)
+        np.add.at(v, am.col, av * h[am.row])
+        new_phase = np.where(v > 0, 1, np.where(v < 0, -1, phase)).astype(np.int8)
+        phase = np.where(block_id >= 0, new_phase, 0).astype(np.int8)
+    return phase
+
+
+def _haplotag(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
+              block_ps: np.ndarray):
+    """Final read scoring -> (hap, ps, pc) per read."""
+    n = am.n_reads
+    av = am.allele.astype(np.float64) * am.weight
+    signed = np.zeros(n, dtype=np.float64)
+    total = np.zeros(n, dtype=np.float64)
+    np.add.at(signed, am.row, av * phase[am.col])
+    informative = (phase[am.col] != 0)
+    np.add.at(total, am.row, np.abs(av) * informative)
+
+    # per-read dominant block (largest summed weight)
+    nblocks = len(block_ps)
+    read_hap = np.zeros(n, dtype=np.int8)
+    read_ps = np.full(n, -1, dtype=np.int64)
+    read_pc = np.full(n, -1, dtype=np.int32)
+    if nblocks and len(am.row):
+        blk = block_id[am.col].astype(np.int64)
+        ok = blk >= 0
+        # groupby (read, block) via sort — avoids a dense n x nblocks matrix
+        key = am.row[ok].astype(np.int64) * nblocks + blk[ok]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        ws = am.weight[ok][order].astype(np.float64)
+        group_start = np.ones(len(ks), dtype=bool)
+        group_start[1:] = ks[1:] != ks[:-1]
+        gid = np.cumsum(group_start) - 1
+        gsum = np.bincount(gid, weights=ws)
+        gkey = ks[group_start]
+        g_read = (gkey // nblocks).astype(np.int64)
+        g_block = (gkey % nblocks).astype(np.int64)
+        # per read: block with the largest summed weight
+        best_w = np.zeros(n, dtype=np.float64)
+        np.maximum.at(best_w, g_read, gsum)
+        is_best = gsum == best_w[g_read]
+        # earliest best block wins ties: reversed fancy assignment makes the
+        # first (block-sorted) best group's write land last
+        best_block = np.zeros(n, dtype=np.int64)
+        sel = np.flatnonzero(is_best)[::-1]
+        best_block[g_read[sel]] = g_block[sel]
+        has = np.zeros(n, dtype=bool)
+        has[g_read] = True
+        tagged = has & (total > 0) & (signed != 0)
+        read_hap[tagged] = np.where(signed[tagged] > 0, 1, 2)
+        read_ps[tagged] = block_ps[best_block[tagged]]
+        margin = np.abs(signed[tagged])
+        read_pc[tagged] = np.clip(
+            np.rint(PC_PER_MARGIN * margin), 1, PC_MAX
+        ).astype(np.int32)
+    return read_hap, read_ps, read_pc
+
+
+def phase_contig(cr: ContigReads, snps: ContigSnps,
+                 cfg: SnpCallConfig | None = None, sweeps: int = 2) -> PhaseResult:
+    am = build_allele_matrix(cr, snps, cfg)
+    phase, block_id, block_ps = _initial_phase(am)
+    phase = _power_refine(am, phase, block_id, sweeps)
+    read_hap, read_ps, read_pc = _haplotag(am, phase, block_id, block_ps)
+    return PhaseResult(am.site_pos, phase, block_id, block_ps,
+                       read_hap, read_ps, read_pc)
+
+
+def read_hap_map(cr: ContigReads, result: PhaseResult) -> dict[str, tuple[int, int, int]]:
+    """name -> (hap, ps, pc) join map, the decision stage's input (mirrors
+    reference read_hap_bam's dict, sv_phasing_fn.py:11-34)."""
+    out = {}
+    for i in range(cr.n):
+        if result.read_hap[i] != 0:
+            out[cr.names[i]] = (
+                int(result.read_hap[i]), int(result.read_ps[i]), int(result.read_pc[i])
+            )
+    return out
+
+
+def write_phased_snp_vcf(path: str, contig: str, snps: ContigSnps,
+                         result: PhaseResult) -> None:
+    """Per-contig phased SNP VCF (artifact parity with the reference's
+    snp_phasing/phased_{chr}.vcf.gz contract, snp_phasing.py:23-24)."""
+    from duet_tpu.io.vcf import write_vcf
+    from duet_tpu.models.snp_caller import BASES
+
+    header = [
+        "##fileformat=VCFv4.2",
+        "##source=duet_tpu.snp_phaser",
+        f"##contig=<ID={contig}>",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE",
+    ]
+    het_idx = np.flatnonzero(snps.is_het)
+    pos_to_row = {int(snps.pos[k]): k for k in het_idx}
+    records = []
+    for j in range(len(result.site_pos)):
+        p = int(result.site_pos[j])
+        k = pos_to_row[p]
+        if result.phase[j] == 0:
+            gt, ps = "0/1", "."
+        else:
+            gt = "1|0" if result.phase[j] > 0 else "0|1"
+            ps = str(result.block_ps[result.block_id[j]])
+        records.append(
+            f"{contig}\t{p + 1}\t.\t{BASES[snps.ref_code[k]]}\t"
+            f"{BASES[snps.alt_code[k]]}\t.\tPASS\t.\tGT:PS\t{gt}:{ps}"
+        )
+    # hom-alt sites pass through unphased (WhatsHap phases hets only)
+    for k in np.flatnonzero(~snps.is_het):
+        records.append(
+            f"{contig}\t{snps.pos[k] + 1}\t.\t{BASES[snps.ref_code[k]]}\t"
+            f"{BASES[snps.alt_code[k]]}\t.\tPASS\t.\tGT:PS\t1/1:."
+        )
+    write_vcf(path, header, records)

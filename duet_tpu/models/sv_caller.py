@@ -1,0 +1,242 @@
+"""SV calling: per-read INS/DEL signature extraction + clustering + genotyping.
+
+The framework's replacement for the reference's external base callers
+(cuteSV/Sniffles/SVIM, reference src/duet/sv_calling.py:13-20).  The contract
+downstream (sv_phasing) needs is a per-contig callset with SVLEN/SVTYPE,
+support-read count, the supporting READ NAMES (the reference turns on
+--report_readid/--read_names/--output-rnames for exactly this join,
+sv_calling.py:14-20), a genotype, and ref/var read depths.
+
+Pipeline per contig:
+  1. signature scan   — walk each read's CIGAR, take I/D runs >= sig_min
+  2. within-read merge — same-type signatures closer than merge_dist fuse
+     (long ONT indels fragment across small alignment gaps)
+  3. clustering       — position-sorted same-type signatures chain into
+     clusters; two linkage modes:
+       'gap'  : break when the position gap exceeds max_dist (cuteSV-style)
+       'span' : break when (|dpos| + |dlen|) / max(len) exceeds
+                cluster_max_distance (SVIM-style span-position distance,
+                the consumer of the reference -c flag, sv_calling.py:15)
+  4. consensus        — call position/length = lower median over members
+  5. genotyping       — DV = distinct supporting reads, DR = spanning
+     non-supporting reads, thresholds on DV/(DR+DV)
+
+The chain/segment-reduce formulation is shared with the device kernel in
+duet_tpu.ops.cluster (sorted positions -> boundary flags -> segment ids ->
+segment reductions), so host and TPU paths are statistic-for-statistic
+identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from duet_tpu.io.readstore import ContigReads, ReadStore
+from duet_tpu.io.vcf import write_vcf
+
+SVTYPE_INS = 0
+SVTYPE_DEL = 1
+TYPE_NAMES = ("INS", "DEL")
+
+
+@dataclass
+class SvCallConfig:
+    sig_min: int = 25              # min CIGAR run length to record a signature
+    merge_dist: int = 500          # within-read same-type merge window
+    linkage: str = "gap"           # 'gap' (cuteSV-like) | 'span' (SVIM-like)
+    max_dist_ins: int = 100        # gap-linkage window for INS
+    max_dist_del: int = 200        # gap-linkage window for DEL
+    cluster_max_distance: float = 0.9  # span linkage threshold (reference -c)
+    min_size: int = 50             # reference -s sv_min_size
+    min_support: int = 2           # reference -r min_support_read
+    span_buffer: int = 50          # ref-spanning test half-window for DR
+    af_hom: float = 0.8
+    af_absent: float = 0.25
+    min_mapq: int = 10
+
+
+@dataclass
+class Signatures:
+    """All SV signatures of one contig, parallel arrays."""
+
+    svtype: np.ndarray   # (k,) int8  0=INS 1=DEL
+    pos: np.ndarray      # (k,) int64 0-based ref position of the event start
+    length: np.ndarray   # (k,) int64 event length (positive)
+    read_idx: np.ndarray # (k,) int32 index into ContigReads
+
+
+def extract_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
+    """CIGAR scan + within-read merge. Vectorized over the flat cigar arrays:
+    per-op ref positions come from exclusive scans of the ref-consuming
+    lengths, so no per-read Python walk is needed."""
+    ops = cr.cigar_ops.astype(np.int64)
+    lens = cr.cigar_lens.astype(np.int64)
+    n_ops = len(ops)
+    if n_ops == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return Signatures(e.astype(np.int8), e, e, e.astype(np.int32))
+
+    # read id per op
+    op_read = np.repeat(np.arange(cr.n, dtype=np.int32),
+                        np.diff(cr.cigar_off).astype(np.int64))
+    # ref position of each op = read start + cumulative ref-consumed before it
+    consumes_ref = ((ops == 0) | (ops == 2) | (ops == 3) | (ops == 7) | (ops == 8))
+    ref_adv = np.where(consumes_ref, lens, 0)
+    cum = np.cumsum(ref_adv) - ref_adv  # exclusive scan
+    # reset the scan at read boundaries
+    start_of_read = cr.cigar_off[:-1]
+    read_first_cum = cum[np.minimum(start_of_read, n_ops - 1)]
+    op_ref_pos = cr.starts[op_read] + (cum - read_first_cum[op_read])
+
+    mapq_ok = cr.mapq[op_read] >= cfg.min_mapq
+    is_sig = ((ops == 1) | (ops == 2)) & (lens >= cfg.sig_min) & mapq_ok
+    sig_type = np.where(ops[is_sig] == 1, SVTYPE_INS, SVTYPE_DEL).astype(np.int8)
+    sig_pos = op_ref_pos[is_sig]
+    sig_len = lens[is_sig]
+    sig_read = op_read[is_sig]
+
+    # within-read merge: consecutive same-type signatures of one read closer
+    # than merge_dist fuse into one event (summed length, first position)
+    order = np.lexsort((sig_pos, sig_type, sig_read))
+    t, p, l, r = sig_type[order], sig_pos[order], sig_len[order], sig_read[order]
+    if len(t):
+        new_group = np.ones(len(t), dtype=bool)
+        same = (r[1:] == r[:-1]) & (t[1:] == t[:-1]) & (p[1:] - p[:-1] <= cfg.merge_dist)
+        new_group[1:] = ~same
+        gid = np.cumsum(new_group) - 1
+        ng = gid[-1] + 1
+        m_pos = np.full(ng, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m_pos, gid, p)
+        m_len = np.bincount(gid, weights=l).astype(np.int64)
+        first = np.zeros(ng, dtype=np.int64)
+        first[gid[::-1]] = np.arange(len(t))[::-1]
+        t, p, l, r = t[first], m_pos, m_len, r[first]
+    return Signatures(t, p, l, r)
+
+
+def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int):
+    """Sorted chain clustering -> list of (call_pos, call_len, member_rows)."""
+    order = np.argsort(pos, kind="stable")
+    p, l, r = pos[order], length[order], read_idx[order]
+    k = len(p)
+    if k == 0:
+        return []
+    if cfg.linkage == "span":
+        dpos = np.abs(np.diff(p))
+        dlen = np.abs(np.diff(l))
+        denom = np.maximum(np.maximum(l[1:], l[:-1]), 1)
+        brk = (dpos + dlen) / denom > cfg.cluster_max_distance
+    else:
+        max_dist = cfg.max_dist_ins if svtype == SVTYPE_INS else cfg.max_dist_del
+        brk = np.diff(p) > max_dist
+    seg = np.zeros(k, dtype=np.int64)
+    seg[1:] = np.cumsum(brk)
+    out = []
+    for s in range(seg[-1] + 1):
+        rows = np.flatnonzero(seg == s)
+        cp = int(np.sort(p[rows])[(len(rows) - 1) // 2])       # lower median
+        cl = int(np.sort(l[rows])[(len(rows) - 1) // 2])
+        out.append((cp, cl, r[rows]))
+    return out
+
+
+@dataclass
+class SvCall:
+    contig: str
+    pos: int          # 0-based
+    svtype: str
+    length: int       # positive
+    support: int
+    read_names: list[str]
+    gt: str
+    dr: int
+    dv: int
+
+
+def _genotype(af: float, depth: int, cfg: SvCallConfig) -> str:
+    if depth == 0:
+        return "./."
+    if af < cfg.af_absent:
+        return "0/0"
+    if af <= cfg.af_hom:
+        return "0/1"
+    return "1/1"
+
+
+def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
+    sigs = extract_signatures(cr, cfg)
+    calls: list[SvCall] = []
+    for svtype in (SVTYPE_INS, SVTYPE_DEL):
+        m = sigs.svtype == svtype
+        clusters = _cluster_one_type(
+            sigs.pos[m], sigs.length[m], sigs.read_idx[m], cfg, svtype
+        )
+        for cp, cl, member_reads in clusters:
+            if cl < cfg.min_size:
+                continue
+            uniq = np.unique(member_reads)
+            support = len(uniq)
+            if support < cfg.min_support:
+                continue
+            # DR: reads spanning the locus that do not support the event
+            spanning = np.flatnonzero(
+                (cr.starts <= cp - cfg.span_buffer)
+                & (cr.ends >= cp + cfg.span_buffer)
+                & (cr.mapq >= cfg.min_mapq)
+            )
+            dr = len(np.setdiff1d(spanning, uniq, assume_unique=False))
+            dv = support
+            af = dv / max(dv + dr, 1)
+            calls.append(SvCall(
+                contig=cr.contig, pos=cp, svtype=TYPE_NAMES[svtype], length=cl,
+                support=support, read_names=[cr.names[i] for i in uniq],
+                gt=_genotype(af, dv + dr, cfg), dr=dr, dv=dv,
+            ))
+    calls.sort(key=lambda c: c.pos)
+    return calls
+
+
+def call_svs_for_store(store: ReadStore, cfg: SvCallConfig | None = None) -> dict[str, list[SvCall]]:
+    cfg = cfg or SvCallConfig()
+    return {contig: call_svs_for_contig(cr, cfg) for contig, cr in store.contigs.items()}
+
+
+def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
+                 contig_lengths: dict[str, int]) -> None:
+    """variants.vcf in the cuteSV-compatible shape the reference parser reads
+    (read_file.py:34-76): SVLEN/SVTYPE/RE/RNAMES in INFO, 5-field
+    GT:DR:DV:PL:GQ sample column (the >4-field parse path)."""
+    header = [
+        "##fileformat=VCFv4.2",
+        "##source=duet_tpu.sv_caller",
+    ] + [
+        f"##contig=<ID={c},length={contig_lengths.get(c, 0)}>" for c in calls
+    ] + [
+        '##ALT=<ID=INS,Description="Insertion">',
+        '##ALT=<ID=DEL,Description="Deletion">',
+        '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length">',
+        '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
+        '##INFO=<ID=RE,Number=1,Type=Integer,Description="Supporting reads">',
+        '##INFO=<ID=RNAMES,Number=.,Type=String,Description="Supporting read names">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=DR,Number=1,Type=Integer,Description="# ref reads">',
+        '##FORMAT=<ID=DV,Number=1,Type=Integer,Description="# var reads">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred GT likelihoods">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE",
+    ]
+    records = []
+    idx = 0
+    for contig, contig_calls in calls.items():
+        for c in contig_calls:
+            svlen = c.length if c.svtype == "INS" else -c.length
+            records.append(
+                f"{contig}\t{c.pos + 1}\tduet_tpu.{c.svtype}.{idx}\tN\t<{c.svtype}>\t.\tPASS\t"
+                f"SVLEN={svlen};SVTYPE={c.svtype};RE={c.support};"
+                f"RNAMES={','.join(c.read_names)}\t"
+                f"GT:DR:DV:PL:GQ\t{c.gt}:{c.dr}:{c.dv}:.,.,.:."
+            )
+            idx += 1
+    write_vcf(path, header, records)

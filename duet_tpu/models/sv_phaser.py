@@ -284,9 +284,13 @@ def phase_chromosome(
     read_hap: dict[str, tuple[int, int, int]],
     svlen_min: int,
     support_min: int,
+    use_device: bool = False,
 ) -> list[dict]:
     """Full phasing of one chromosome's callset; returns phased-call dicts
-    (unsorted — the caller applies the global lexicographic sort)."""
+    (unsorted — the caller applies the global lexicographic sort).
+
+    use_device routes the feature+decision pass through the jitted kernel
+    (duet_tpu.ops.phase_decide), bit-identical to the host path."""
     attach_read_haplotypes(records, read_hap)
     kept = [
         r for r in records
@@ -301,8 +305,15 @@ def phase_chromosome(
     if len(oneps) == 0:
         # reference skips the whole chromosome when no anchor exists (:209-210)
         return []
-    feats = compute_features(packed, regime, oneps)
-    pred = decide_haplotype(feats, regime)
+    if use_device and packed.tagged.shape[1] <= 500:
+        from duet_tpu.ops.phase_decide import phase_decide_packed
+
+        pred, ps_arr = phase_decide_packed(packed, oneps)
+        feats_ps = ps_arr.astype(np.int64)
+    else:
+        feats = compute_features(packed, regime, oneps)
+        pred = decide_haplotype(feats, regime)
+        feats_ps = feats.ps
 
     out = []
     # reference emission order within a chromosome: regime 0, then 1, then 2
@@ -311,7 +322,7 @@ def phase_chromosome(
         for i in np.flatnonzero((regime == want) & (pred > 0)):
             rec = packed.records[i]
             out.append({
-                "ps": int(feats.ps[i]),
+                "ps": int(feats_ps[i]),
                 "hp": HP_STRINGS[int(pred[i])],
                 "chrom": rec.chrom,
                 "pos": rec.pos,
@@ -328,13 +339,15 @@ def phase_callset(
     read_hap_by_chrom: dict[str, dict[str, tuple[int, int, int]]],
     svlen_min: int,
     support_min: int,
+    use_device: bool = False,
 ) -> list[dict]:
     """Phase all chromosomes and apply the reference's final ordering:
     lexicographic on the chrom string, numeric on pos (sv_phasing_fn.py:229)."""
     phased: list[dict] = []
     for name, records in per_chrom_records.items():
         phased.extend(
-            phase_chromosome(records, read_hap_by_chrom.get(name, {}), svlen_min, support_min)
+            phase_chromosome(records, read_hap_by_chrom.get(name, {}),
+                             svlen_min, support_min, use_device=use_device)
         )
     phased.sort(key=lambda c: (c["chrom"], c["pos"]))
     return phased

@@ -1,0 +1,243 @@
+"""Pipeline orchestrator: the four-stage BAM -> phased_sv.vcf flow.
+
+Mirrors the reference driver's fixed stage order (src/duet/duet:23-26:
+snp_calling -> sv_calling -> snp_phasing -> sv_phasing) and its on-disk
+artifact contract (OUTPUT/snp_calling/pileup.vcf.gz, sv_calling/variants.vcf,
+snp_phasing/phased_{chr}.vcf.gz, OUTPUT/phased_sv.vcf), with the framework
+improvements SURVEY.md §5 calls out as gaps in the reference:
+
+* one shared in-memory read store per run — the BAM is decoded once, not
+  re-read per stage/chromosome (reference §3.3 redundant-I/O cost)
+* every stage checks its own failure instead of ignored os.system codes
+  (reference §5.3: errors surfaced only as downstream parse crashes)
+* resume-from-artifacts: `resume=True` skips stages whose outputs exist
+  (reference §5.4: artifacts persisted but always recomputed)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from duet_tpu.io.fasta import FastaFile
+from duet_tpu.io.readstore import ReadStore, load_read_store
+from duet_tpu.io.vcf import (
+    append_phased_sv_records,
+    parse_sv_vcf,
+    write_phased_sv_header,
+)
+from duet_tpu.models import sv_phaser
+from duet_tpu.models.snp_caller import (
+    ContigSnps,
+    SnpCallConfig,
+    call_snps_for_store,
+    read_pileup_vcf,
+    write_pileup_vcf,
+)
+from duet_tpu.models.snp_phaser import (
+    PhaseResult,
+    phase_contig,
+    read_hap_map,
+    write_phased_snp_vcf,
+)
+from duet_tpu.models.sv_caller import SvCallConfig, call_svs_for_store, write_sv_vcf
+from duet_tpu.utils.chrom import resolve_contig_names, strip_chr
+from duet_tpu.utils.logging import StageTimer, get_logger, setup_logging
+
+
+@dataclass
+class PipelineConfig:
+    """Flag set with reference-CLI parity (src/duet/utils.py:19-44 defaults)."""
+
+    bam: str
+    reference: str
+    output: str
+    threads: int = 4                    # -t (ingest/host parallelism hint)
+    min_allele_frequency: float = 0.25  # -m
+    cluster_max_distance: float = 0.9   # -c
+    sv_min_size: int = 50               # -s
+    min_support_read: int = 2           # -r
+    include_all_ctgs: bool = False      # -a
+    sv_caller: str = "cutesv"           # -b: cutesv|sniffles -> gap linkage, svim -> span
+    resume: bool = False                # skip stages whose artifacts exist
+    use_device_kernel: bool = True      # run the decision stage on device
+
+    def snp_cfg(self) -> SnpCallConfig:
+        return SnpCallConfig(min_af=self.min_allele_frequency)
+
+    def sv_cfg(self) -> SvCallConfig:
+        return SvCallConfig(
+            linkage="span" if self.sv_caller == "svim" else "gap",
+            cluster_max_distance=self.cluster_max_distance,
+            min_size=self.sv_min_size,
+            min_support=self.min_support_read,
+        )
+
+
+def check_envs(cfg: PipelineConfig) -> None:
+    """Pre-flight index checks (reference utils.py:46-50 exits unless
+    BAM.bai and REF.fai exist)."""
+    missing = [p for p in (cfg.bam, cfg.reference, cfg.bam + ".bai",
+                           cfg.reference + ".fai") if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            "missing required input(s): " + ", ".join(missing)
+            + " (BAM and reference must be indexed)"
+        )
+
+
+@dataclass
+class PipelineState:
+    """In-memory data plane shared across stages (alongside disk artifacts)."""
+
+    store: ReadStore | None = None
+    ref: FastaFile | None = None
+    snps: dict[str, ContigSnps] = field(default_factory=dict)
+    phase_results: dict[str, PhaseResult] = field(default_factory=dict)
+    read_haps: dict[str, dict[str, tuple[int, int, int]]] = field(default_factory=dict)
+
+
+def _work_contigs(cfg: PipelineConfig, available: list[str]) -> list[str]:
+    """Contigs to process, honoring -a and accepting chrN/N spellings."""
+    canonical = resolve_contig_names(available, cfg.include_all_ctgs)
+    out = []
+    for name in canonical:
+        for c in available:
+            if c == name or c == "chr" + name or strip_chr(c) == name:
+                out.append(c)
+                break
+    return out
+
+
+def stage_snp_calling(cfg: PipelineConfig, st: PipelineState) -> None:
+    out_dir = os.path.join(cfg.output, "snp_calling")
+    os.makedirs(out_dir, exist_ok=True)
+    artifact = os.path.join(out_dir, "pileup.vcf.gz")
+    if cfg.resume and os.path.exists(artifact):
+        get_logger().info("resume: loading %s", artifact)
+        st.snps = read_pileup_vcf(artifact)
+        return
+    ref_codes = {c: st.ref.fetch_codes(c)
+                 for c in _work_contigs(cfg, st.ref.contig_names)}
+    st.snps = call_snps_for_store(st.store, ref_codes, cfg.snp_cfg())
+    write_pileup_vcf(artifact, st.snps, st.store.contig_lengths)
+    n = sum(len(s.pos) for s in st.snps.values())
+    get_logger().info("called %d SNP sites over %d contigs", n, len(st.snps))
+
+
+def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
+    out_dir = os.path.join(cfg.output, "sv_calling")
+    os.makedirs(out_dir, exist_ok=True)
+    artifact = os.path.join(out_dir, "variants.vcf")
+    if cfg.resume and os.path.exists(artifact):
+        get_logger().info("resume: keeping %s", artifact)
+        return
+    calls = call_svs_for_store(st.store, cfg.sv_cfg())
+    write_sv_vcf(artifact, calls, st.store.contig_lengths)
+    n = sum(len(v) for v in calls.values())
+    get_logger().info("clustered %d SV candidates", n)
+
+
+def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
+    out_dir = os.path.join(cfg.output, "snp_phasing")
+    os.makedirs(out_dir, exist_ok=True)
+    for contig, snps in st.snps.items():
+        if contig not in st.store.contigs:
+            continue
+        cr = st.store.contigs[contig]
+        result = phase_contig(cr, snps, cfg.snp_cfg())
+        st.phase_results[contig] = result
+        st.read_haps[contig] = read_hap_map(cr, result)
+        write_phased_snp_vcf(
+            os.path.join(out_dir, f"phased_{contig}.vcf.gz"), contig, snps, result
+        )
+        _write_haplotag_table(
+            os.path.join(out_dir, f"{contig}.haplotags.tsv"), st.read_haps[contig]
+        )
+        get_logger().info(
+            "[PHASING] %s: %d het sites, %d blocks, %d/%d reads tagged",
+            contig, len(result.site_pos), len(result.block_ps),
+            int((result.read_hap != 0).sum()), cr.n,
+        )
+
+
+def _write_haplotag_table(path: str, haps: dict[str, tuple[int, int, int]]) -> None:
+    """name<TAB>hap<TAB>ps<TAB>pc — the framework's equivalent of the
+    haplotagged-BAM HP/PC/PS artifact (reference snp_phasing.py:27-29)."""
+    with open(path, "w") as f:
+        for name, (hap, ps, pc) in haps.items():
+            f.write(f"{name}\t{hap}\t{ps}\t{pc}\n")
+
+
+def read_haplotag_table(path: str) -> dict[str, tuple[int, int, int]]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            name, hap, ps, pc = line.rstrip("\n").split("\t")
+            out[name] = (int(hap), int(ps), int(pc))
+    return out
+
+
+def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
+    variants = os.path.join(cfg.output, "sv_calling", "variants.vcf")
+    artifact = os.path.join(cfg.output, "phased_sv.vcf")
+    if not os.path.exists(variants):
+        raise FileNotFoundError(f"sv_calling artifact missing: {variants}")
+    if not st.read_haps:
+        # resume path: reload haplotag tables from disk
+        hap_dir = os.path.join(cfg.output, "snp_phasing")
+        for fn in os.listdir(hap_dir):
+            if fn.endswith(".haplotags.tsv"):
+                st.read_haps[fn[: -len(".haplotags.tsv")]] = read_haplotag_table(
+                    os.path.join(hap_dir, fn)
+                )
+    per_chrom = parse_sv_vcf(variants, cfg.include_all_ctgs)
+    # align read-hap map keys to the parser's canonical names
+    read_haps = {}
+    for name in per_chrom:
+        for contig, m in st.read_haps.items():
+            if contig == name or strip_chr(contig) == strip_chr(name):
+                read_haps[name] = m
+                break
+    phased = sv_phaser.phase_callset(
+        per_chrom, read_haps, cfg.sv_min_size, cfg.min_support_read,
+        use_device=cfg.use_device_kernel,
+    )
+    write_phased_sv_header(variants, artifact, cfg.include_all_ctgs)
+    append_phased_sv_records(phased, artifact)
+    get_logger().info("phased %d SV calls -> %s", len(phased), artifact)
+
+
+STAGES = (
+    ("SNP CALLING", stage_snp_calling),
+    ("SV CALLING", stage_sv_calling),
+    ("SNP PHASING", stage_snp_phasing),
+    ("SV PHASING", stage_sv_phasing),
+)
+
+
+def run_pipeline(cfg: PipelineConfig) -> str:
+    """Run all stages; returns the phased_sv.vcf path."""
+    check_envs(cfg)
+    os.makedirs(cfg.output, exist_ok=True)
+    setup_logging(cfg.output)
+    log = get_logger()
+    import time
+
+    t0 = time.time()
+    st = PipelineState()
+    with StageTimer("INGEST"):
+        st.ref = FastaFile(cfg.reference)
+        st.store = load_read_store(cfg.bam)
+        log.info(
+            "ingested %d reads over %d contigs",
+            sum(c.n for c in st.store.contigs.values()), len(st.store.contigs),
+        )
+    for name, fn in STAGES:
+        with StageTimer(name):
+            fn(cfg, st)
+    log.info("ALL STAGES COMPLETED IN %ss", round(time.time() - t0, 3))
+    log.info("OUTPUT: %s", os.path.join(cfg.output, "phased_sv.vcf"))
+    return os.path.join(cfg.output, "phased_sv.vcf")
