@@ -4,15 +4,22 @@ initializes, so sharding/collective paths are exercised without TPU hardware
 
 import os
 
-# Force CPU even when the shell pre-sets a TPU platform: tests must be
-# hermetic and fast. Set DUET_TPU_TEST_REAL=1 to run against real hardware.
-if not os.environ.get("DUET_TPU_TEST_REAL"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Force CPU even when the environment pre-wires a TPU platform: tests must
+# be hermetic and fast. The env var alone is NOT enough — a site plugin may
+# set jax.config.jax_platforms directly at interpreter start, and config
+# beats env — so override at the config level before any backend init.
+# Set DUET_TPU_TEST_REAL=1 to run against real hardware instead.
+if not os.environ.get("DUET_TPU_TEST_REAL"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
