@@ -165,6 +165,63 @@ def _initial_phase(am: AlleleMatrix):
     return phase, block_id, block_ps
 
 
+def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
+                    max_flips: int = 50) -> np.ndarray:
+    """Repair switch errors: whole-suffix phase flips inside a block.
+
+    Site-wise majority refinement cannot fix a run of sites that is
+    collectively flipped (each side outvotes the boundary-spanning reads
+    locally), so evaluate every possible switch point directly: for
+    boundary j let E_j = sum over reads of L_r(j) * R_r(j), where L/R are
+    the read's weighted agreement with the current phases left/right of j.
+    A flipped suffix makes spanning reads' L and R disagree in sign, so
+    E_j < 0; flipping the suffix at argmin E_j raises the global objective
+    sum_r (L_r + R_r)^2 by -4*E_j > 0, hence the loop terminates.  All E_j
+    are computed in O(nnz) per round with an event-driven prefix scan."""
+    phase = phase.copy()
+    for b in np.unique(block_id[block_id >= 0]):
+        cols_b = np.flatnonzero(block_id == b)
+        m = len(cols_b)
+        if m < 2:
+            continue
+        sel = np.flatnonzero(block_id[am.col] == b)
+        if len(sel) == 0:
+            continue
+        lj = np.searchsorted(cols_b, am.col[sel])
+        rows = am.row[sel]
+        base_v = am.allele[sel].astype(np.float64) * am.weight[sel]
+        order = np.lexsort((lj, rows))
+        rows, lj, base_v = rows[order], lj[order], base_v[order]
+        read_start = np.ones(len(rows), dtype=bool)
+        read_start[1:] = rows[1:] != rows[:-1]
+        start_idx = np.flatnonzero(read_start)
+        seg = np.cumsum(read_start) - 1  # compact read index
+
+        for _ in range(max_flips):
+            v = base_v * phase[cols_b[lj]]
+            cum = np.cumsum(v)
+            seg_offset = np.concatenate([[0.0], cum[start_idx[1:] - 1]]) if len(start_idx) > 1 else np.zeros(1)
+            P = cum - seg_offset[seg]          # prefix INCLUDING current entry
+            S = np.add.reduceat(v, start_idx)  # per-read total
+            # entries k with a successor in the same read span boundaries
+            # (lj_k, lj_{k+1}]; contribution P_k * (S - P_k) on that range
+            has_next = np.zeros(len(rows), dtype=bool)
+            has_next[:-1] = rows[1:] == rows[:-1]
+            k = np.flatnonzero(has_next)
+            val = P[k] * (S[seg[k]] - P[k])
+            D = np.zeros(m + 1)
+            np.add.at(D, lj[k] + 1, val)
+            np.add.at(D, lj[k + 1] + 1, -val)
+            E = np.cumsum(D)[1:m]  # E[j-1] = evidence for boundary before local site j
+            if len(E) == 0:
+                break
+            jmin = int(np.argmin(E))
+            if E[jmin] >= 0:
+                break
+            phase[cols_b[jmin + 1:]] *= -1
+    return phase
+
+
 def _power_refine(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
                   sweeps: int = 2):
     """Alternating majority updates (read haps <-> site phases), restricted so
@@ -238,6 +295,8 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
                  cfg: SnpCallConfig | None = None, sweeps: int = 2) -> PhaseResult:
     am = build_allele_matrix(cr, snps, cfg)
     phase, block_id, block_ps = _initial_phase(am)
+    phase = _power_refine(am, phase, block_id, sweeps)
+    phase = _switch_correct(am, phase, block_id)
     phase = _power_refine(am, phase, block_id, sweeps)
     read_hap, read_ps, read_pc = _haplotag(am, phase, block_id, block_ps)
     return PhaseResult(am.site_pos, phase, block_id, block_ps,

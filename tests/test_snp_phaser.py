@@ -1,0 +1,85 @@
+"""SNP phasing unit tests: chain init, switch-error correction, haplotag."""
+
+import numpy as np
+import pytest
+
+from duet_tpu.models import snp_phaser as sp
+
+
+def matrix_from_dense(D, weights=None):
+    """Dense (reads x sites) array in {+1,-1,0} -> AlleleMatrix."""
+    row, col = np.nonzero(D)
+    w = (weights[row, col] if weights is not None
+         else np.full(len(row), 30.0)).astype(np.float32)
+    return sp.AlleleMatrix(
+        n_reads=D.shape[0], n_sites=D.shape[1],
+        site_pos=np.arange(D.shape[1], dtype=np.int64) * 1000 + 100,
+        row=row.astype(np.int32), col=col.astype(np.int32),
+        allele=D[row, col].astype(np.int8), weight=w,
+    )
+
+
+def diploid_matrix(rng, n_reads, n_sites, span, err=0.0):
+    """Simulated diploid reads: hap-0 reads show +1 at every covered site
+    (alt on hap1 convention), hap-1 reads show -1; errors flip entries."""
+    D = np.zeros((n_reads, n_sites), dtype=np.int8)
+    haps = rng.integers(0, 2, n_reads)
+    for r in range(n_reads):
+        start = rng.integers(0, max(n_sites - span, 1))
+        sign = 1 if haps[r] == 0 else -1
+        D[r, start:start + span] = sign
+    if err:
+        flips = rng.random(D.shape) < err
+        D = np.where(flips, -D, D)
+    return D, haps
+
+
+def test_switch_correct_repairs_suffix_flip():
+    rng = np.random.default_rng(0)
+    D, haps = diploid_matrix(rng, n_reads=60, n_sites=40, span=12)
+    am = matrix_from_dense(D)
+    block_id = np.zeros(40, dtype=np.int32)
+    # correct phase is all +1 (alt on hap1 everywhere); flip a suffix
+    phase = np.ones(40, dtype=np.int8)
+    phase[25:] = -1
+    fixed = sp._switch_correct(am, phase, block_id)
+    assert (fixed == fixed[0]).all(), "suffix flip not repaired"
+
+
+def test_switch_correct_noop_when_consistent():
+    rng = np.random.default_rng(1)
+    D, _ = diploid_matrix(rng, n_reads=60, n_sites=40, span=12)
+    am = matrix_from_dense(D)
+    phase = np.ones(40, dtype=np.int8)
+    fixed = sp._switch_correct(am, phase, np.zeros(40, dtype=np.int32))
+    np.testing.assert_array_equal(fixed, phase)
+
+
+def test_switch_correct_respects_blocks():
+    """Sites of different blocks never exchange flip evidence."""
+    rng = np.random.default_rng(2)
+    D, _ = diploid_matrix(rng, n_reads=40, n_sites=20, span=6)
+    am = matrix_from_dense(D)
+    block_id = np.zeros(20, dtype=np.int32)
+    block_id[10:] = 1
+    phase = np.ones(20, dtype=np.int8)
+    phase[10:] = -1  # second block globally flipped — that is legal
+    fixed = sp._switch_correct(am, phase, block_id)
+    # each block keeps one consistent orientation
+    assert (fixed[:10] == fixed[0]).all() and (fixed[10:] == fixed[10]).all()
+
+
+@pytest.mark.parametrize("err", [0.0, 0.05])
+def test_full_phasing_recovers_haplotypes(err):
+    rng = np.random.default_rng(3)
+    D, haps = diploid_matrix(rng, n_reads=120, n_sites=60, span=15, err=err)
+    am = matrix_from_dense(D)
+    phase, block_id, block_ps = sp._initial_phase(am)
+    phase = sp._power_refine(am, phase, block_id, sweeps=2)
+    phase = sp._switch_correct(am, phase, block_id)
+    phase = sp._power_refine(am, phase, block_id, sweeps=2)
+    hap, ps, pc = sp._haplotag(am, phase, block_id, block_ps)
+    tagged = hap != 0
+    match = (hap[tagged] - 1) == haps[tagged]
+    acc = max(match.mean(), 1 - match.mean())
+    assert acc >= 0.97, f"haplotag accuracy {acc}"
