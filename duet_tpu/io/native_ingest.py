@@ -1,0 +1,178 @@
+"""ctypes bridge to the native ingest library (native/duet_ingest.cc).
+
+Loads libduet_ingest.so (building it with make on first use if the
+toolchain is present) and exposes `load_read_store_native`, a drop-in
+replacement for duet_tpu.io.readstore.load_read_store: multi-threaded BGZF
+inflate + single-pass BAM column decode in C++, ~order-of-magnitude faster
+than the pure-Python reader on real data.  Falls back to the Python path
+when the library can't be built (NativeUnavailable)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from duet_tpu.io.readstore import ContigReads, ReadStore
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libduet_ingest.so")
+
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    src = os.path.join(_NATIVE_DIR, "duet_ingest.cc")
+    if not os.path.exists(src):
+        raise NativeUnavailable(f"native source missing: {src}")
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "libduet_ingest.so"],
+                       check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        detail = getattr(e, "stderr", "") or str(e)
+        raise NativeUnavailable(f"native build failed: {detail}") from e
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.join(_NATIVE_DIR, "duet_ingest.cc")
+    if not os.path.exists(_SO_PATH) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+    ):
+        _build()
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.duet_bam_load.restype = ctypes.c_void_p
+    lib.duet_bam_load.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.duet_bam_error.restype = ctypes.c_char_p
+    lib.duet_bam_error.argtypes = [ctypes.c_void_p]
+    lib.duet_bam_n_reads.restype = ctypes.c_int64
+    lib.duet_bam_n_reads.argtypes = [ctypes.c_void_p]
+    lib.duet_bam_n_refs.restype = ctypes.c_int32
+    lib.duet_bam_n_refs.argtypes = [ctypes.c_void_p]
+    lib.duet_bam_ref_name.restype = ctypes.c_char_p
+    lib.duet_bam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.duet_bam_ref_length.restype = ctypes.c_int32
+    lib.duet_bam_ref_length.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.duet_bam_ragged_sizes.restype = None
+    lib.duet_bam_ragged_sizes.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_int64)]
+    lib.duet_bam_fill.restype = None
+    lib.duet_bam_free.restype = None
+    lib.duet_bam_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def load_read_store_native(bam_path: str, min_mapq: int = 0,
+                           n_threads: int | None = None) -> ReadStore:
+    """Native BAM decode -> per-contig ReadStore (column parity with the
+    Python reader; tests pin equality)."""
+    lib = get_lib()
+    if n_threads is None:
+        n_threads = max(os.cpu_count() or 1, 1)
+    h = lib.duet_bam_load(bam_path.encode(), min_mapq, n_threads)
+    try:
+        err = lib.duet_bam_error(h)
+        if err:
+            raise ValueError(f"{bam_path}: {err.decode()}")
+        n = lib.duet_bam_n_reads(h)
+        sizes = (ctypes.c_int64 * 3)()
+        lib.duet_bam_ragged_sizes(h, sizes)
+        nb, nc, ns = sizes[0], sizes[1], sizes[2]
+
+        ref_id = np.empty(n, np.int32)
+        pos = np.empty(n, np.int64)
+        end = np.empty(n, np.int64)
+        mapq = np.empty(n, np.uint8)
+        flag = np.empty(n, np.uint16)
+        name_off = np.empty(n + 1, np.int64)
+        name_bytes = np.empty(nb, np.uint8)
+        cigar_off = np.empty(n + 1, np.int64)
+        cigar_ops = np.empty(nc, np.int8)
+        cigar_lens = np.empty(nc, np.int32)
+        seq_off = np.empty(n + 1, np.int64)
+        seq_codes = np.empty(ns, np.uint8)
+        quals = np.empty(ns, np.uint8)
+        lib.duet_bam_fill(
+            ctypes.c_void_p(h), _ptr(ref_id), _ptr(pos), _ptr(end), _ptr(mapq),
+            _ptr(flag), _ptr(name_off), _ptr(name_bytes), _ptr(cigar_off),
+            _ptr(cigar_ops), _ptr(cigar_lens), _ptr(seq_off), _ptr(seq_codes),
+            _ptr(quals),
+        )
+        ref_names = [lib.duet_bam_ref_name(h, i).decode()
+                     for i in range(lib.duet_bam_n_refs(h))]
+        ref_lengths = [lib.duet_bam_ref_length(h, i)
+                       for i in range(len(ref_names))]
+    finally:
+        lib.duet_bam_free(h)
+
+    names_all = name_bytes.tobytes()
+    contigs: dict[str, ContigReads] = {}
+    for rid in np.unique(ref_id):
+        sel = np.flatnonzero(ref_id == rid)
+        lo, hi = int(sel[0]), int(sel[-1]) + 1
+        contiguous = (hi - lo == len(sel)) and bool(
+            np.all(pos[lo:hi][1:] >= pos[lo:hi][:-1])
+        )
+        name = ref_names[int(rid)]
+        if contiguous:
+            # coordinate-sorted BAM: the contig is one contiguous sorted
+            # range — hand out VIEWS over the flat arrays (no copies; large
+            # host memcpys are the dominant cost on memory-bound hosts)
+            c0 = int(cigar_off[lo])
+            s0 = int(seq_off[lo])
+            c1 = int(cigar_off[hi])
+            s1 = int(seq_off[hi])
+            names = _split_names(names_all, name_off, lo, hi)
+            contigs[name] = ContigReads(
+                name, hi - lo, names, pos[lo:hi], end[lo:hi],
+                ((flag[lo:hi] >> 4) & 1).astype(np.uint8), mapq[lo:hi],
+                cigar_off[lo:hi + 1] - c0, cigar_ops[c0:c1],
+                cigar_lens[c0:c1], seq_off[lo:hi + 1] - s0,
+                seq_codes[s0:s1], quals[s0:s1],
+            )
+            continue
+        # fallback: gather (unsorted or interleaved input)
+        sel = sel[np.argsort(pos[sel], kind="stable")]
+        m = len(sel)
+        c_off = np.zeros(m + 1, np.int64)
+        s_off = np.zeros(m + 1, np.int64)
+        np.cumsum(cigar_off[sel + 1] - cigar_off[sel], out=c_off[1:])
+        np.cumsum(seq_off[sel + 1] - seq_off[sel], out=s_off[1:])
+        ops = np.empty(int(c_off[-1]), np.int8)
+        lens = np.empty(int(c_off[-1]), np.int32)
+        seq = np.empty(int(s_off[-1]), np.uint8)
+        qual = np.empty(int(s_off[-1]), np.uint8)
+        names = []
+        for k, i in enumerate(sel):
+            ops[c_off[k]:c_off[k + 1]] = cigar_ops[cigar_off[i]:cigar_off[i + 1]]
+            lens[c_off[k]:c_off[k + 1]] = cigar_lens[cigar_off[i]:cigar_off[i + 1]]
+            seq[s_off[k]:s_off[k + 1]] = seq_codes[seq_off[i]:seq_off[i + 1]]
+            qual[s_off[k]:s_off[k + 1]] = quals[seq_off[i]:seq_off[i + 1]]
+            names.append(names_all[name_off[i]:name_off[i + 1]].decode())
+        contigs[name] = ContigReads(
+            name, m, names, pos[sel].copy(), end[sel].copy(),
+            ((flag[sel] >> 4) & 1).astype(np.uint8), mapq[sel].copy(),
+            c_off, ops, lens, s_off, seq, qual,
+        )
+    return ReadStore(contigs, dict(zip(ref_names, ref_lengths)))
+
+
+def _split_names(names_all: bytes, name_off: np.ndarray, lo: int, hi: int) -> list[str]:
+    text = names_all[name_off[lo]:name_off[hi]].decode()
+    rel = (name_off[lo:hi + 1] - name_off[lo])
+    return [text[rel[k]:rel[k + 1]] for k in range(hi - lo)]

@@ -210,6 +210,19 @@ def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     get_logger().info("phased %d SV calls -> %s", len(phased), artifact)
 
 
+def _ingest(cfg: PipelineConfig) -> ReadStore:
+    """Native C++ BAM decode (threaded BGZF inflate) with Python fallback."""
+    try:
+        from duet_tpu.io.native_ingest import load_read_store_native
+
+        store = load_read_store_native(cfg.bam, n_threads=cfg.threads)
+        get_logger().info("ingest backend: native")
+        return store
+    except Exception as e:  # NativeUnavailable or build/runtime failure
+        get_logger().warning("native ingest unavailable (%s); using Python reader", e)
+        return load_read_store(cfg.bam)
+
+
 STAGES = (
     ("SNP CALLING", stage_snp_calling),
     ("SV CALLING", stage_sv_calling),
@@ -230,7 +243,7 @@ def run_pipeline(cfg: PipelineConfig) -> str:
     st = PipelineState()
     with StageTimer("INGEST"):
         st.ref = FastaFile(cfg.reference)
-        st.store = load_read_store(cfg.bam)
+        st.store = _ingest(cfg)
         log.info(
             "ingested %d reads over %d contigs",
             sum(c.n for c in st.store.contigs.values()), len(st.store.contigs),
