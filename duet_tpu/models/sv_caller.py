@@ -116,29 +116,36 @@ def extract_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
     return Signatures(t, p, l, r)
 
 
+def cmd_as_rational(cmd: float) -> tuple[int, int]:
+    """cluster_max_distance as an exact small rational so the host and the
+    integer device kernel compare identically (0.9 -> 9/10)."""
+    from fractions import Fraction
+
+    f = Fraction(cmd).limit_denominator(10_000)
+    return f.numerator, f.denominator
+
+
 def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int):
-    """Sorted chain clustering -> list of (call_pos, call_len, member_rows)."""
-    order = np.argsort(pos, kind="stable")
-    p, l, r = pos[order], length[order], read_idx[order]
-    k = len(p)
+    """Sorted chain clustering via the shared segment-reduce formulation
+    (duet_tpu.ops.cluster) -> list of (call_pos, call_len, member_read_ids)."""
+    from duet_tpu.ops.cluster import GAP, SPAN, cluster_host
+
+    k = len(pos)
     if k == 0:
         return []
-    if cfg.linkage == "span":
-        dpos = np.abs(np.diff(p))
-        dlen = np.abs(np.diff(l))
-        denom = np.maximum(np.maximum(l[1:], l[:-1]), 1)
-        brk = (dpos + dlen) / denom > cfg.cluster_max_distance
-    else:
-        max_dist = cfg.max_dist_ins if svtype == SVTYPE_INS else cfg.max_dist_del
-        brk = np.diff(p) > max_dist
-    seg = np.zeros(k, dtype=np.int64)
-    seg[1:] = np.cumsum(brk)
+    num, den = cmd_as_rational(cfg.cluster_max_distance)
+    max_dist = cfg.max_dist_ins if svtype == SVTYPE_INS else cfg.max_dist_del
+    call_pos, call_len, support, count, seg_of_input = cluster_host(
+        pos, length, read_idx,
+        SPAN if cfg.linkage == "span" else GAP, max_dist, num, den,
+    )
+    order = np.argsort(seg_of_input, kind="stable")
+    bounds = np.zeros(len(call_pos) + 1, dtype=np.int64)
+    np.cumsum(count, out=bounds[1:])
     out = []
-    for s in range(seg[-1] + 1):
-        rows = np.flatnonzero(seg == s)
-        cp = int(np.sort(p[rows])[(len(rows) - 1) // 2])       # lower median
-        cl = int(np.sort(l[rows])[(len(rows) - 1) // 2])
-        out.append((cp, cl, r[rows]))
+    for s in range(len(call_pos)):
+        members = read_idx[order[bounds[s]:bounds[s + 1]]]
+        out.append((int(call_pos[s]), int(call_len[s]), members))
     return out
 
 
