@@ -76,23 +76,33 @@ def count_alleles(positions, bases, quals, length: int, min_base_qual: int) -> n
     return np.bincount(key, minlength=length * 4).reshape(length, 4)
 
 
+def _as_rational(x: float) -> tuple[int, int]:
+    from fractions import Fraction
+
+    f = Fraction(x).limit_denominator(10_000)
+    return f.numerator, f.denominator
+
+
 def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
               cfg: SnpCallConfig) -> ContigSnps:
-    """Frequency-based site calling over the (L,4) count matrix."""
+    """Frequency-based site calling over the (L,4) count matrix.
+
+    Allele-frequency cuts are evaluated in exact integer form
+    (alt * den >= depth * num) — identical on the device path
+    (duet_tpu.ops.pileup.call_sites)."""
     L = len(ref_codes)
     depth = counts.sum(axis=1)
     ref_safe = np.minimum(ref_codes, 3).astype(np.int64)
     idx = np.arange(L)
-    ref_count = counts[idx, ref_safe]
     nonref = counts.copy()
     nonref[idx, ref_safe] = -1
     alt_code = nonref.argmax(axis=1)
     alt_count = counts[idx, alt_code]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        af = np.where(depth > 0, alt_count / np.maximum(depth, 1), 0.0)
+    af_num, af_den = _as_rational(cfg.min_af)
+    hom_num, hom_den = _as_rational(cfg.hom_af)
     is_site = (
         (depth >= cfg.min_depth)
-        & (af >= cfg.min_af)
+        & (alt_count * af_den >= depth * af_num)
         & (alt_count >= 2)
         & (ref_codes < 4)
         & (alt_code != ref_safe)
@@ -103,7 +113,7 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
         pos=pos,
         ref_code=ref_codes[pos].astype(np.uint8),
         alt_code=alt_code[pos].astype(np.uint8),
-        is_het=af[pos] < cfg.hom_af,
+        is_het=alt_count[pos] * hom_den < depth[pos] * hom_num,
         depth=depth[pos].astype(np.int32),
         alt_count=alt_count[pos].astype(np.int32),
     )

@@ -1,0 +1,60 @@
+"""Device pileup: allele counting + SNP site calling as one jitted pass.
+
+The SNP-calling stage's hot loop (host path: models.snp_caller
+count_alleles/call_snps) restated for the TPU: counting is a scatter-add of
+(position, base) observations into an (L, 4) count image, and site calling
+is elementwise — both fuse into a single XLA computation with no
+data-dependent shapes.  The driver feeds fixed-size observation batches
+(padded with base=4 sentinels, which drop out of the counts) so one
+compiled program serves every contig.
+
+The allele-frequency comparison `alt/depth >= min_af` is evaluated in
+exact integer form (alt * af_den >= depth * af_num) on both paths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("length",))
+def pileup_counts(positions, bases, quals, length: int, min_base_qual):
+    """(L, 4) int32 allele counts from flat observation arrays.
+
+    Padding convention: base >= 4 (N) never counts, so pad slots with
+    base=4.  quals below min_base_qual are dropped (host parity)."""
+    keep = (bases < 4) & (quals >= min_base_qual)
+    key = jnp.where(keep, positions * 4 + bases.astype(jnp.int32), length * 4)
+    flat = jnp.zeros(length * 4 + 1, jnp.int32).at[key].add(1)
+    return flat[: length * 4].reshape(length, 4)
+
+
+@partial(jax.jit, static_argnames=())
+def call_sites(counts, ref_codes, min_depth, af_num, af_den, hom_num, hom_den):
+    """Elementwise site calling over the count image.
+
+    Returns (is_site, is_het, alt_code, depth, alt_count) — the boolean
+    masks and per-site stats the host path derives (models.snp_caller
+    call_snps), with allele-frequency cuts in exact integer arithmetic:
+    af >= af_num/af_den  <=>  alt * af_den >= depth * af_num.
+    """
+    L = counts.shape[0]
+    depth = counts.sum(axis=1)
+    ref_safe = jnp.minimum(ref_codes, 3).astype(jnp.int32)
+    idx = jnp.arange(L)
+    nonref = counts.at[idx, ref_safe].set(-1)
+    alt_code = jnp.argmax(nonref, axis=1).astype(jnp.int32)
+    alt_count = counts[idx, alt_code]
+    is_site = (
+        (depth >= min_depth)
+        & (alt_count * af_den >= depth * af_num)
+        & (alt_count >= 2)
+        & (ref_codes < 4)
+        & (alt_code != ref_safe)
+    )
+    is_het = alt_count * hom_den < depth * hom_num
+    return is_site, is_het & is_site, alt_code, depth, alt_count

@@ -1,0 +1,25 @@
+"""Pallas scoring kernel parity vs the jnp path (interpret mode on CPU;
+the same assertions run compiled on TPU in bench/driver flows)."""
+
+import jax
+import numpy as np
+import pytest
+
+import __graft_entry__ as g
+from duet_tpu.ops.haplotag import phase_and_tag
+from duet_tpu.ops.pallas_haplotag import haplotag_score_pallas
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+@pytest.mark.parametrize("R,S,B", [(300, 256, 5), (256, 128, 1), (700, 512, 33)])
+def test_pallas_matches_jnp(R, S, B):
+    alleles, weights, phase0, onehot = g._example_batch(R=R, S=S, B=B, seed=R)
+    ref = phase_and_tag(alleles, weights, phase0, onehot, sweeps=0)
+    hap, pc, best = haplotag_score_pallas(alleles, weights, phase0, onehot,
+                                          interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(hap), np.asarray(ref["hap"]))
+    tagged = np.asarray(ref["hap"]) != 0
+    np.testing.assert_array_equal(np.asarray(pc)[tagged],
+                                  np.asarray(ref["pc"])[tagged])
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(ref["best_block"]))
