@@ -120,18 +120,29 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
 
 
 def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
-                        cfg: SnpCallConfig | None = None) -> dict[str, ContigSnps]:
-    """ref_codes: per-contig uint8 base-code arrays (FastaFile.fetch_codes)."""
+                        cfg: SnpCallConfig | None = None,
+                        threads: int = 1) -> dict[str, ContigSnps]:
+    """ref_codes: per-contig uint8 base-code arrays (FastaFile.fetch_codes).
+
+    Contigs are independent; `threads` fans them out on a thread pool (the
+    framework's in-process answer to the reference's -t passthrough and
+    GNU-parallel per-chromosome processes, SURVEY.md §2.4)."""
     cfg = cfg or SnpCallConfig()
-    out: dict[str, ContigSnps] = {}
-    for contig, cr in store.contigs.items():
-        if contig not in ref_codes:
-            continue
+
+    def one(item):
+        contig, cr = item
         codes = ref_codes[contig]
         positions, bases, quals, _ = pileup_observations(cr, cfg)
         counts = count_alleles(positions, bases, quals, len(codes), cfg.min_base_qual)
-        out[contig] = call_snps(contig, counts, codes, cfg)
-    return out
+        return contig, call_snps(contig, counts, codes, cfg)
+
+    work = [(c, cr) for c, cr in store.contigs.items() if c in ref_codes]
+    if threads > 1 and len(work) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(threads) as ex:
+            return dict(ex.map(one, work))
+    return dict(map(one, work))
 
 
 def write_pileup_vcf(path: str, snps: dict[str, ContigSnps],

@@ -3,3 +3,4 @@ from duet_tpu.parallel.mesh import (
     pad_to_multiple,
     phase_and_tag_sharded,
 )
+from duet_tpu.parallel.distributed import init_distributed, global_mesh, host_read_batches, gather_rows

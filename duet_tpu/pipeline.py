@@ -121,7 +121,8 @@ def stage_snp_calling(cfg: PipelineConfig, st: PipelineState) -> None:
         return
     ref_codes = {c: st.ref.fetch_codes(c)
                  for c in _work_contigs(cfg, st.ref.contig_names)}
-    st.snps = call_snps_for_store(st.store, ref_codes, cfg.snp_cfg())
+    st.snps = call_snps_for_store(st.store, ref_codes, cfg.snp_cfg(),
+                                  threads=cfg.threads)
     write_pileup_vcf(artifact, st.snps, st.store.contig_lengths)
     n = sum(len(s.pos) for s in st.snps.values())
     get_logger().info("called %d SNP sites over %d contigs", n, len(st.snps))
@@ -143,11 +144,23 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
 def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     out_dir = os.path.join(cfg.output, "snp_phasing")
     os.makedirs(out_dir, exist_ok=True)
-    for contig, snps in st.snps.items():
-        if contig not in st.store.contigs:
-            continue
+
+    def one(item):
+        contig, snps = item
         cr = st.store.contigs[contig]
         result = phase_contig(cr, snps, cfg.snp_cfg())
+        return contig, snps, cr, result
+
+    work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
+    if cfg.threads > 1 and len(work) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(cfg.threads) as ex:
+            results = list(ex.map(one, work))
+    else:
+        results = list(map(one, work))
+
+    for contig, snps, cr, result in results:
         st.phase_results[contig] = result
         st.read_haps[contig] = read_hap_map(cr, result)
         write_phased_snp_vcf(
@@ -232,25 +245,46 @@ STAGES = (
 
 
 def run_pipeline(cfg: PipelineConfig) -> str:
-    """Run all stages; returns the phased_sv.vcf path."""
+    """Run all stages; returns the phased_sv.vcf path.
+
+    Observability beyond the reference's wall-clock lines (SURVEY.md §5.1):
+    OUTPUT/metrics.json records per-stage seconds, read/site/call counts,
+    and ingest throughput for machine consumption."""
+    import json
+    import time
+
     check_envs(cfg)
     os.makedirs(cfg.output, exist_ok=True)
     setup_logging(cfg.output)
     log = get_logger()
-    import time
 
     t0 = time.time()
     st = PipelineState()
+    metrics: dict = {"stages": {}, "counts": {}}
     with StageTimer("INGEST"):
+        t = time.time()
         st.ref = FastaFile(cfg.reference)
         st.store = _ingest(cfg)
-        log.info(
-            "ingested %d reads over %d contigs",
-            sum(c.n for c in st.store.contigs.values()), len(st.store.contigs),
+        n_reads = sum(c.n for c in st.store.contigs.values())
+        metrics["stages"]["ingest"] = round(time.time() - t, 4)
+        metrics["counts"]["reads"] = n_reads
+        metrics["counts"]["contigs"] = len(st.store.contigs)
+        metrics["ingest_reads_per_s"] = round(
+            n_reads / max(time.time() - t, 1e-9), 1
         )
+        log.info("ingested %d reads over %d contigs", n_reads, len(st.store.contigs))
     for name, fn in STAGES:
         with StageTimer(name):
+            t = time.time()
             fn(cfg, st)
-    log.info("ALL STAGES COMPLETED IN %ss", round(time.time() - t0, 3))
+            metrics["stages"][name.lower().replace(" ", "_")] = round(time.time() - t, 4)
+    metrics["counts"]["snp_sites"] = sum(len(s.pos) for s in st.snps.values())
+    metrics["counts"]["tagged_reads"] = sum(
+        len(m) for m in st.read_haps.values()
+    )
+    metrics["total_s"] = round(time.time() - t0, 4)
+    with open(os.path.join(cfg.output, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    log.info("ALL STAGES COMPLETED IN %ss", metrics["total_s"])
     log.info("OUTPUT: %s", os.path.join(cfg.output, "phased_sv.vcf"))
     return os.path.join(cfg.output, "phased_sv.vcf")
