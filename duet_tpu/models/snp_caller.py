@@ -46,33 +46,57 @@ class ContigSnps:
 def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
     """Flatten all aligned (M/=/X) bases of a contig into parallel arrays
     (ref_pos, base_code, qual, read_index) — the scatter feed for counting
-    and, later, the gather feed for the allele matrix."""
-    pos_parts, base_parts, qual_parts, read_parts = [], [], [], []
-    for i in range(cr.n):
-        if cr.mapq[i] < cfg.min_mapq:
-            continue
-        segs = aligned_segments(cr, i)
-        q0 = cr.seq_off[i]
-        for rs, qs, ln in segs:
-            pos_parts.append(np.arange(rs, rs + ln, dtype=np.int64))
-            base_parts.append(cr.seq[q0 + qs: q0 + qs + ln])
-            qual_parts.append(cr.qual[q0 + qs: q0 + qs + ln])
-            read_parts.append(np.full(ln, i, dtype=np.int32))
-    if not pos_parts:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z.astype(np.uint8), z.astype(np.uint8), z.astype(np.int32)
-    return (
-        np.concatenate(pos_parts),
-        np.concatenate(base_parts),
-        np.concatenate(qual_parts),
-        np.concatenate(read_parts),
-    )
+    and the gather feed for the allele matrix.
+
+    Fully vectorized over the flat cigar arrays: per-op ref/query positions
+    come from exclusive scans reset at read starts, and per-base indices
+    from one grouped arange — no per-read Python loop."""
+    ops = cr.cigar_ops.astype(np.int64)
+    lens = cr.cigar_lens.astype(np.int64)
+    n_ops = len(ops)
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8),
+             np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int32))
+    if n_ops == 0:
+        return empty
+
+    op_read = np.repeat(np.arange(cr.n, dtype=np.int64),
+                        np.diff(cr.cigar_off).astype(np.int64))
+    start_of_read = cr.cigar_off[:-1]
+    first = np.minimum(start_of_read, n_ops - 1)
+
+    ref_adv = np.where((ops == 0) | (ops == 2) | (ops == 3)
+                       | (ops == 7) | (ops == 8), lens, 0)
+    ref_cum = np.cumsum(ref_adv) - ref_adv
+    op_ref = cr.starts[op_read] + (ref_cum - ref_cum[first][op_read])
+
+    q_adv = np.where((ops == 0) | (ops == 1) | (ops == 4)
+                     | (ops == 7) | (ops == 8), lens, 0)
+    q_cum = np.cumsum(q_adv) - q_adv
+    op_q = cr.seq_off[op_read] + (q_cum - q_cum[first][op_read])
+
+    is_match = ((ops == 0) | (ops == 7) | (ops == 8)) & \
+        (cr.mapq[op_read] >= cfg.min_mapq) & (lens > 0)
+    m_lens = lens[is_match]
+    if len(m_lens) == 0:
+        return empty
+    total = int(m_lens.sum())
+    # grouped arange: per-base offset within its op. int32 throughout —
+    # contig coords and per-contig base totals are < 2^31 and the smaller
+    # arrays halve memory traffic on the hot path
+    boundary = (np.cumsum(m_lens) - m_lens).astype(np.int64)
+    within = np.arange(total, dtype=np.int32) - np.repeat(
+        boundary, m_lens).astype(np.int32)
+    positions = np.repeat(op_ref[is_match].astype(np.int32), m_lens) + within
+    qidx = np.repeat(op_q[is_match].astype(np.int32), m_lens) + within
+    read_idx = np.repeat(op_read[is_match], m_lens).astype(np.int32)
+    return positions, cr.seq[qidx], cr.qual[qidx], read_idx
 
 
 def count_alleles(positions, bases, quals, length: int, min_base_qual: int) -> np.ndarray:
     """(L, 4) allele counts; N bases and low-qual bases are dropped."""
     keep = (bases < 4) & (quals >= min_base_qual)
-    key = positions[keep] * 4 + bases[keep]
+    dtype = np.int64 if length * 4 >= 2**31 else np.int32
+    key = positions[keep].astype(dtype) * 4 + bases[keep]
     return np.bincount(key, minlength=length * 4).reshape(length, 4)
 
 
