@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "linkage, svim = span-position linkage (default cutesv)")
     p.add_argument("--resume", action="store_true",
                    help="skip stages whose artifacts already exist in OUTPUT")
+    p.add_argument("--phase-only", action="store_true",
+                   help="run only the final SV-phasing stage from existing "
+                        "artifacts in OUTPUT (sv_calling/variants.vcf + "
+                        "snp_phasing/ haplotag tables or haplotagged BAMs)")
     p.add_argument("--host-kernel", action="store_true",
                    help="run the decision stage on host (float64) instead of "
                         "the device kernel")
@@ -67,7 +71,12 @@ def main(argv: list[str] | None = None) -> int:
         use_device_kernel=not args.host_kernel,
     )
     try:
-        run_pipeline(cfg)
+        if args.phase_only:
+            from duet_tpu.pipeline import run_phase_only
+
+            run_phase_only(cfg)
+        else:
+            run_pipeline(cfg)
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

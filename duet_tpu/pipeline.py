@@ -198,15 +198,16 @@ def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     artifact = os.path.join(cfg.output, "phased_sv.vcf")
     if not os.path.exists(variants):
         raise FileNotFoundError(f"sv_calling artifact missing: {variants}")
-    if not st.read_haps:
-        # resume path: reload haplotag tables from disk
-        hap_dir = os.path.join(cfg.output, "snp_phasing")
-        for fn in os.listdir(hap_dir):
-            if fn.endswith(".haplotags.tsv"):
-                st.read_haps[fn[: -len(".haplotags.tsv")]] = read_haplotag_table(
-                    os.path.join(hap_dir, fn)
-                )
     per_chrom = parse_sv_vcf(variants, cfg.include_all_ctgs)
+    if not st.read_haps:
+        # resume / phase-only path: reload per-chromosome read->haplotype
+        # maps from disk — framework .haplotags.tsv tables or
+        # reference-style haplotagged {chr}.bam files
+        from duet_tpu.io.haplotag_bam import read_hap_tables_from_dir
+
+        st.read_haps = read_hap_tables_from_dir(
+            os.path.join(cfg.output, "snp_phasing"), list(per_chrom)
+        )
     # align read-hap map keys to the parser's canonical names
     read_haps = {}
     for name in per_chrom:
@@ -242,6 +243,23 @@ STAGES = (
     ("SNP PHASING", stage_snp_phasing),
     ("SV PHASING", stage_sv_phasing),
 )
+
+
+def run_phase_only(cfg: PipelineConfig) -> str:
+    """Final stage only, from on-disk artifacts.
+
+    Drop-in compatibility with the reference data plane: OUTPUT must hold
+    sv_calling/variants.vcf (any supported caller format) and snp_phasing/
+    with either .haplotags.tsv tables or reference-style haplotagged
+    per-chromosome BAMs carrying HP/PC/PS tags.  Lets reference users
+    re-phase their existing intermediates, and is the parity surface for
+    comparing final VCFs against the reference on identical inputs."""
+    os.makedirs(cfg.output, exist_ok=True)
+    setup_logging(cfg.output)
+    st = PipelineState()
+    with StageTimer("SV PHASING"):
+        stage_sv_phasing(cfg, st)
+    return os.path.join(cfg.output, "phased_sv.vcf")
 
 
 def run_pipeline(cfg: PipelineConfig) -> str:
