@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "linkage, svim = span-position linkage (default cutesv)")
     p.add_argument("--resume", action="store_true",
                    help="skip stages whose artifacts already exist in OUTPUT")
+    p.add_argument("--stream", action="store_true",
+                   help="contig-major streaming run: bounds memory to one "
+                        "contig's reads (whole-genome inputs)")
     p.add_argument("--phase-only", action="store_true",
                    help="run only the final SV-phasing stage from existing "
                         "artifacts in OUTPUT (sv_calling/variants.vcf + "
@@ -75,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
             from duet_tpu.pipeline import run_phase_only
 
             run_phase_only(cfg)
+        elif args.stream:
+            from duet_tpu.pipeline import run_pipeline_streaming
+
+            run_pipeline_streaming(cfg)
         else:
             run_pipeline(cfg)
     except FileNotFoundError as e:

@@ -71,6 +71,13 @@ class FastaFile:
         codes = self.fetch_codes(name)
         return decode_bases(codes[start:end])
 
+    def drop_cache(self, name: str | None = None) -> None:
+        """Release cached contig codes (streaming runs bound memory)."""
+        if name is None:
+            self._cache.clear()
+        else:
+            self._cache.pop(name, None)
+
 
 def write_fasta(path: str, contigs: dict[str, str], line_width: int = 70) -> None:
     with open(path, "w") as f:

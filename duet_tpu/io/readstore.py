@@ -62,6 +62,41 @@ class ReadStore:
         return out
 
 
+def pack_contig(contig: str, reads: list) -> ContigReads:
+    """Pack a position-sorted list of BamRead into the column layout."""
+    reads.sort(key=lambda rd: rd.pos)
+    n = len(reads)
+    names = [rd.name for rd in reads]
+    starts = np.array([rd.pos for rd in reads], dtype=np.int64)
+    ends = np.array([rd.ref_end() for rd in reads], dtype=np.int64)
+    strand = np.array([(rd.flag >> 4) & 1 for rd in reads], dtype=np.uint8)
+    mapq = np.array([rd.mapq for rd in reads], dtype=np.uint8)
+    cigar_off = np.zeros(n + 1, dtype=np.int64)
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    for i, rd in enumerate(reads):
+        cigar_off[i + 1] = cigar_off[i] + len(rd.cigar)
+        seq_off[i + 1] = seq_off[i] + len(rd.seq_codes)
+    cigar_ops = np.empty(cigar_off[-1], dtype=np.int8)
+    cigar_lens = np.empty(cigar_off[-1], dtype=np.int32)
+    seq = np.empty(seq_off[-1], dtype=np.uint8)
+    qual = np.empty(seq_off[-1], dtype=np.uint8)
+    for i, rd in enumerate(reads):
+        if len(rd.cigar):
+            cigar_ops[cigar_off[i]:cigar_off[i + 1]] = rd.cigar[:, 0]
+            cigar_lens[cigar_off[i]:cigar_off[i + 1]] = rd.cigar[:, 1]
+        seq[seq_off[i]:seq_off[i + 1]] = rd.seq_codes
+        qual[seq_off[i]:seq_off[i + 1]] = rd.quals
+    return ContigReads(
+        contig, n, names, starts, ends, strand, mapq,
+        cigar_off, cigar_ops, cigar_lens, seq_off, seq, qual,
+    )
+
+
+def _keep(read, min_mapq: int) -> bool:
+    return (read.is_mapped and read.is_primary
+            and read.mapq >= min_mapq and read.ref_id >= 0)
+
+
 def load_read_store(bam_path: str, min_mapq: int = 0) -> ReadStore:
     """Single-pass BAM decode -> per-contig packed arrays.
 
@@ -73,41 +108,33 @@ def load_read_store(bam_path: str, min_mapq: int = 0) -> ReadStore:
         ref_names = r.header.ref_names
         contig_lengths = dict(zip(ref_names, r.header.ref_lengths))
         for read in r:
-            if not read.is_mapped or not read.is_primary:
-                continue
-            if read.mapq < min_mapq or read.ref_id < 0:
-                continue
-            per.setdefault(ref_names[read.ref_id], []).append(read)
-
-    contigs: dict[str, ContigReads] = {}
-    for contig, reads in per.items():
-        reads.sort(key=lambda rd: rd.pos)
-        n = len(reads)
-        names = [rd.name for rd in reads]
-        starts = np.array([rd.pos for rd in reads], dtype=np.int64)
-        ends = np.array([rd.ref_end() for rd in reads], dtype=np.int64)
-        strand = np.array([(rd.flag >> 4) & 1 for rd in reads], dtype=np.uint8)
-        mapq = np.array([rd.mapq for rd in reads], dtype=np.uint8)
-        cigar_off = np.zeros(n + 1, dtype=np.int64)
-        seq_off = np.zeros(n + 1, dtype=np.int64)
-        for i, rd in enumerate(reads):
-            cigar_off[i + 1] = cigar_off[i] + len(rd.cigar)
-            seq_off[i + 1] = seq_off[i] + len(rd.seq_codes)
-        cigar_ops = np.empty(cigar_off[-1], dtype=np.int8)
-        cigar_lens = np.empty(cigar_off[-1], dtype=np.int32)
-        seq = np.empty(seq_off[-1], dtype=np.uint8)
-        qual = np.empty(seq_off[-1], dtype=np.uint8)
-        for i, rd in enumerate(reads):
-            if len(rd.cigar):
-                cigar_ops[cigar_off[i]:cigar_off[i + 1]] = rd.cigar[:, 0]
-                cigar_lens[cigar_off[i]:cigar_off[i + 1]] = rd.cigar[:, 1]
-            seq[seq_off[i]:seq_off[i + 1]] = rd.seq_codes
-            qual[seq_off[i]:seq_off[i + 1]] = rd.quals
-        contigs[contig] = ContigReads(
-            contig, n, names, starts, ends, strand, mapq,
-            cigar_off, cigar_ops, cigar_lens, seq_off, seq, qual,
-        )
+            if _keep(read, min_mapq):
+                per.setdefault(ref_names[read.ref_id], []).append(read)
+    contigs = {c: pack_contig(c, reads) for c, reads in per.items()}
     return ReadStore(contigs, contig_lengths)
+
+
+def stream_contig_reads(bam_path: str, min_mapq: int = 0):
+    """Contig-major streaming decode for memory-bounded whole-genome runs:
+    yields (ContigReads, contig_lengths) one contig at a time, holding only
+    the current contig's reads in memory.  Requires a coordinate-sorted BAM
+    (records of one contig contiguous — the pipeline's input contract)."""
+    with BamReader(bam_path) as r:
+        ref_names = r.header.ref_names
+        contig_lengths = dict(zip(ref_names, r.header.ref_lengths))
+        cur_id: int | None = None
+        reads: list = []
+        for read in r:
+            if not _keep(read, min_mapq):
+                continue
+            if read.ref_id != cur_id:
+                if cur_id is not None and reads:
+                    yield pack_contig(ref_names[cur_id], reads), contig_lengths
+                cur_id = read.ref_id
+                reads = []
+            reads.append(read)
+        if cur_id is not None and reads:
+            yield pack_contig(ref_names[cur_id], reads), contig_lengths
 
 
 def aligned_segments(cr: ContigReads, i: int) -> np.ndarray:

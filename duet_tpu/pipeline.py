@@ -245,6 +245,91 @@ STAGES = (
 )
 
 
+def run_pipeline_streaming(cfg: PipelineConfig) -> str:
+    """Contig-major streaming run for memory-bounded whole-genome inputs.
+
+    Instead of decoding the whole BAM up front, each coordinate-sorted
+    contig is decoded, SNP-called, SV-called, phased and haplotagged, then
+    released — peak memory is one contig's reads (the reference's
+    per-chromosome GNU-parallel layout had the same bound, SURVEY.md §3.3).
+    The final cross-contig SV-phasing stage runs once at the end.  Output
+    artifacts are identical to run_pipeline's."""
+    import time
+
+    from duet_tpu.io.readstore import stream_contig_reads
+    from duet_tpu.models.sv_caller import call_svs_for_contig
+
+    check_envs(cfg)
+    os.makedirs(cfg.output, exist_ok=True)
+    setup_logging(cfg.output)
+    log = get_logger()
+    t0 = time.time()
+
+    st = PipelineState()
+    st.ref = FastaFile(cfg.reference)
+    snp_dir = os.path.join(cfg.output, "snp_calling")
+    sv_dir = os.path.join(cfg.output, "sv_calling")
+    ph_dir = os.path.join(cfg.output, "snp_phasing")
+    for d in (snp_dir, sv_dir, ph_dir):
+        os.makedirs(d, exist_ok=True)
+
+    aliases = {}
+    for canonical in _work_contigs(cfg, st.ref.contig_names):
+        aliases[canonical] = canonical
+        aliases[strip_chr(canonical)] = canonical
+        aliases["chr" + strip_chr(canonical)] = canonical
+
+    snps_all: dict[str, ContigSnps] = {}
+    calls_all: dict[str, list] = {}
+    lengths: dict[str, int] = {}
+    n_reads = 0
+    with StageTimer("STREAMING CONTIG PASS"):
+        for cr, contig_lengths in stream_contig_reads(cfg.bam):
+            if cr.contig not in aliases:
+                continue
+            lengths.update(contig_lengths)
+            n_reads += cr.n
+            fa_name = aliases[cr.contig] if aliases[cr.contig] in st.ref.index \
+                else cr.contig
+            codes = st.ref.fetch_codes(fa_name)
+            from duet_tpu.models.snp_caller import call_snps, count_alleles
+
+            positions, bases, quals, _ = pileup_observations_for(cr, cfg)
+            counts = count_alleles(positions, bases, quals, len(codes),
+                                   cfg.snp_cfg().min_base_qual)
+            snps = call_snps(cr.contig, counts, codes, cfg.snp_cfg())
+            snps_all[cr.contig] = snps
+            calls_all[cr.contig] = call_svs_for_contig(cr, cfg.sv_cfg())
+            result = phase_contig(cr, snps, cfg.snp_cfg())
+            st.read_haps[cr.contig] = read_hap_map(cr, result)
+            write_phased_snp_vcf(
+                os.path.join(ph_dir, f"phased_{cr.contig}.vcf.gz"),
+                cr.contig, snps, result,
+            )
+            _write_haplotag_table(
+                os.path.join(ph_dir, f"{cr.contig}.haplotags.tsv"),
+                st.read_haps[cr.contig],
+            )
+            log.info("[STREAM] %s: %d reads, %d SNPs, %d SV candidates, "
+                     "%d blocks", cr.contig, cr.n, len(snps.pos),
+                     len(calls_all[cr.contig]), len(result.block_ps))
+            st.ref.drop_cache(fa_name)
+    write_pileup_vcf(os.path.join(snp_dir, "pileup.vcf.gz"), snps_all, lengths)
+    write_sv_vcf(os.path.join(sv_dir, "variants.vcf"), calls_all, lengths)
+    st.snps = snps_all
+    with StageTimer("SV PHASING"):
+        stage_sv_phasing(cfg, st)
+    log.info("ALL STAGES COMPLETED IN %ss (streamed %d reads)",
+             round(time.time() - t0, 3), n_reads)
+    return os.path.join(cfg.output, "phased_sv.vcf")
+
+
+def pileup_observations_for(cr, cfg: PipelineConfig):
+    from duet_tpu.models.snp_caller import pileup_observations
+
+    return pileup_observations(cr, cfg.snp_cfg())
+
+
 def run_phase_only(cfg: PipelineConfig) -> str:
     """Final stage only, from on-disk artifacts.
 
