@@ -291,14 +291,107 @@ def _haplotag(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     return read_hap, read_ps, read_pc
 
 
+def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
+                     block_ps: np.ndarray, window: int = 2048, halo: int = 256):
+    """Device-windowed read scoring (K1 in the pipeline).
+
+    Sites are position-sorted, so they split into fixed windows of `window`
+    columns plus a `halo` overlap; each read is scored in the window of its
+    first observation, which covers the whole read as long as its
+    observations span fewer than `halo` sites past the window edge (long
+    reads cover ~10-100 het sites, windows hold thousands).  Reads spanning
+    wider — and windows the device rejects — fall back to the sparse host
+    path, keeping outputs exactly equal to _haplotag."""
+    from duet_tpu.ops.haplotag import phase_and_tag
+
+    n, m = am.n_reads, am.n_sites
+    read_hap = np.zeros(n, dtype=np.int8)
+    read_ps = np.full(n, -1, dtype=np.int64)
+    read_pc = np.full(n, -1, dtype=np.int32)
+    if m == 0 or len(am.row) == 0:
+        return read_hap, read_ps, read_pc
+
+    first_col = np.full(n, m, dtype=np.int64)
+    last_col = np.full(n, -1, dtype=np.int64)
+    np.minimum.at(first_col, am.row, am.col)
+    np.maximum.at(last_col, am.row, am.col)
+    has_obs = last_col >= 0
+    w_of_read = np.where(has_obs, first_col // window, -1)
+    span_ok = has_obs & (last_col < (w_of_read + 1) * window + halo)
+
+    nblocks = max(len(block_ps), 1)
+    S_w = window + halo
+    for w in range(0, (m + window - 1) // window):
+        rows = np.flatnonzero((w_of_read == w) & span_ok)
+        if len(rows) == 0:
+            continue
+        lo = w * window
+        hi = min(lo + S_w, m)
+        sel = np.flatnonzero(
+            np.isin(am.row, rows) & (am.col >= lo) & (am.col < hi)
+        )
+        row_local = np.searchsorted(rows, am.row[sel])
+        col_local = am.col[sel] - lo
+        R_pad = max(int(np.ceil(len(rows) / 256)) * 256, 256)
+        A = np.zeros((R_pad, S_w), dtype=np.int8)
+        Wt = np.zeros((R_pad, S_w), dtype=np.float32)
+        A[row_local, col_local] = am.allele[sel]
+        Wt[row_local, col_local] = am.weight[sel]
+        ph = np.zeros(S_w, dtype=np.float32)
+        ph[: hi - lo] = phase[lo:hi]
+        # local block table for the window's sites
+        blk = np.full(S_w, -1, dtype=np.int64)
+        blk[: hi - lo] = block_id[lo:hi]
+        present = np.unique(blk[blk >= 0])
+        # pad the block axis to a power of two (>= 8) so distinct window
+        # shapes — and therefore jit recompiles — stay bounded
+        B = max(8, 1 << (max(len(present), 1) - 1).bit_length())
+        onehot = np.zeros((S_w, B), dtype=np.float32)
+        local_of = {int(b): i for i, b in enumerate(present)}
+        ok = blk >= 0
+        onehot[np.flatnonzero(ok), [local_of[int(b)] for b in blk[ok]]] = 1.0
+
+        # fixed 256-row chunks: ONE kernel shape regardless of contig size,
+        # so the jit (and the persistent compile cache) is hit forever after
+        for c0 in range(0, len(rows), 256):
+            c1 = min(c0 + 256, len(rows))
+            out = phase_and_tag(A[c0:c0 + 256], Wt[c0:c0 + 256], ph, onehot,
+                                sweeps=0)
+            hap = np.asarray(out["hap"])[: c1 - c0]
+            pc = np.asarray(out["pc"])[: c1 - c0]
+            best = np.asarray(out["best_block"])[: c1 - c0]
+            tagged = hap != 0
+            rsel = rows[c0:c1][tagged]
+            read_hap[rsel] = hap[tagged]
+            read_pc[rsel] = pc[tagged]
+            if len(present):
+                read_ps[rsel] = block_ps[present[best[tagged]]]
+
+    # host fallback for over-spanning reads
+    wide = np.flatnonzero(has_obs & ~span_ok)
+    if len(wide):
+        sub = np.isin(am.row, wide)
+        sub_am = AlleleMatrix(n, m, am.site_pos, am.row[sub], am.col[sub],
+                              am.allele[sub], am.weight[sub])
+        h, p, c = _haplotag(sub_am, phase, block_id, block_ps)
+        read_hap[wide] = h[wide]
+        read_ps[wide] = p[wide]
+        read_pc[wide] = c[wide]
+    return read_hap, read_ps, read_pc
+
+
 def phase_contig(cr: ContigReads, snps: ContigSnps,
-                 cfg: SnpCallConfig | None = None, sweeps: int = 2) -> PhaseResult:
+                 cfg: SnpCallConfig | None = None, sweeps: int = 2,
+                 use_device: bool = False) -> PhaseResult:
     am = build_allele_matrix(cr, snps, cfg)
     phase, block_id, block_ps = _initial_phase(am)
     phase = _power_refine(am, phase, block_id, sweeps)
     phase = _switch_correct(am, phase, block_id)
     phase = _power_refine(am, phase, block_id, sweeps)
-    read_hap, read_ps, read_pc = _haplotag(am, phase, block_id, block_ps)
+    if use_device:
+        read_hap, read_ps, read_pc = _haplotag_device(am, phase, block_id, block_ps)
+    else:
+        read_hap, read_ps, read_pc = _haplotag(am, phase, block_id, block_ps)
     return PhaseResult(am.site_pos, phase, block_id, block_ps,
                        read_hap, read_ps, read_pc)
 

@@ -164,12 +164,39 @@ def phase_decide(pos, svread, refread, n_slots, hap, ps, pc, tagged, oneps):
     return pred, ps_out
 
 
+def _pow2(x: int, floor: int = 8) -> int:
+    return max(floor, 1 << (max(x, 1) - 1).bit_length())
+
+
 def phase_decide_packed(packed, oneps_sorted: np.ndarray):
-    """Convenience host wrapper: PackedCalls + anchors -> numpy (pred, ps)."""
+    """Convenience host wrapper: PackedCalls + anchors -> numpy (pred, ps).
+
+    Shapes are bucketed to powers of two (calls, support slots, anchors) so
+    one compiled program serves many chromosomes/runs: padded calls carry no
+    support and are dropped after unpadding; padded slots are untagged;
+    padded anchors repeat the last value (duplicates change nothing in the
+    membership test or the nearest-anchor search)."""
     dev = pack_device_inputs(packed)
+    n, S = packed.tagged.shape
+    n_pad = _pow2(n)
+    s_pad = min(_pow2(S), MAX_SLOTS_EXACT)
+    if s_pad < S:
+        s_pad = S  # exactness bound wins over bucketing
+    a_pad = _pow2(len(oneps_sorted), floor=4)
+
+    def pad1(x, fill):
+        return jnp.pad(x, (0, n_pad - n), constant_values=fill)
+
+    def pad2(x, fill):
+        return jnp.pad(x, ((0, n_pad - n), (0, s_pad - S)), constant_values=fill)
+
+    oneps = np.asarray(oneps_sorted, np.int32)
+    oneps = np.pad(oneps, (0, a_pad - len(oneps)), mode="edge")
     pred, ps = phase_decide(
-        dev["pos"], dev["svread"], dev["refread"], dev["n_slots"],
-        dev["hap"], dev["ps"], dev["pc"], dev["tagged"],
-        jnp.asarray(oneps_sorted, jnp.int32),
+        pad1(dev["pos"], 0), pad1(dev["svread"], 0), pad1(dev["refread"], 1),
+        pad1(dev["n_slots"], 1),
+        pad2(dev["hap"], 0), pad2(dev["ps"], -1), pad2(dev["pc"], _PC_PAD),
+        pad2(dev["tagged"], False),
+        jnp.asarray(oneps),
     )
-    return np.asarray(pred), np.asarray(ps)
+    return np.asarray(pred)[:n], np.asarray(ps)[:n]

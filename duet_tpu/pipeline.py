@@ -76,6 +76,22 @@ class PipelineConfig:
         )
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent jit-compile cache: device-kernel first-compile cost is
+    paid once per machine, not once per run."""
+    try:
+        import jax
+
+        cache_dir = os.path.expanduser("~/.cache/duet_tpu/jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # 0.0: remote-compile backends report ~0 local compile seconds, so
+        # any positive threshold would filter every entry out
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jax or read-only home: run without the cache
+
+
 def check_envs(cfg: PipelineConfig) -> None:
     """Pre-flight index checks (reference utils.py:46-50 exits unless
     BAM.bai and REF.fai exist)."""
@@ -148,7 +164,8 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     def one(item):
         contig, snps = item
         cr = st.store.contigs[contig]
-        result = phase_contig(cr, snps, cfg.snp_cfg())
+        result = phase_contig(cr, snps, cfg.snp_cfg(),
+                              use_device=cfg.use_device_kernel)
         return contig, snps, cr, result
 
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
@@ -262,6 +279,8 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     check_envs(cfg)
     os.makedirs(cfg.output, exist_ok=True)
     setup_logging(cfg.output)
+    if cfg.use_device_kernel:
+        _enable_compilation_cache()
     log = get_logger()
     t0 = time.time()
 
@@ -300,7 +319,8 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             snps = call_snps(cr.contig, counts, codes, cfg.snp_cfg())
             snps_all[cr.contig] = snps
             calls_all[cr.contig] = call_svs_for_contig(cr, cfg.sv_cfg())
-            result = phase_contig(cr, snps, cfg.snp_cfg())
+            result = phase_contig(cr, snps, cfg.snp_cfg(),
+                                  use_device=cfg.use_device_kernel)
             st.read_haps[cr.contig] = read_hap_map(cr, result)
             write_phased_snp_vcf(
                 os.path.join(ph_dir, f"phased_{cr.contig}.vcf.gz"),
@@ -359,6 +379,8 @@ def run_pipeline(cfg: PipelineConfig) -> str:
     check_envs(cfg)
     os.makedirs(cfg.output, exist_ok=True)
     setup_logging(cfg.output)
+    if cfg.use_device_kernel:
+        _enable_compilation_cache()
     log = get_logger()
 
     t0 = time.time()
