@@ -211,13 +211,18 @@ def call_svs_for_store(store: ReadStore, cfg: SvCallConfig | None = None) -> dic
 
 
 def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
-                 contig_lengths: dict[str, int]) -> None:
-    """variants.vcf in the cuteSV-compatible shape the reference parser reads
-    (read_file.py:34-76): SVLEN/SVTYPE/RE/RNAMES in INFO, 5-field
-    GT:DR:DV:PL:GQ sample column (the >4-field parse path)."""
+                 contig_lengths: dict[str, int], family: str = "cutesv") -> None:
+    """variants.vcf in the selected caller family's layout.
+
+    All three layouts the reference parser handles (read_file.py:34-76) can
+    be emitted, so every downstream parse path is exercised end-to-end:
+      cutesv   SVLEN/SVTYPE/RE/RNAMES;      GT:DR:DV:PL:GQ  (>4-field path)
+      sniffles SVLEN/SVTYPE/SUPPORT/RNAMES; GT:DR:DV        (no-comma path)
+      svim     SVLEN/SVTYPE/SUPPORT/READS;  GT:DP:AD, AD='DR,DV' (comma path)
+    """
     header = [
         "##fileformat=VCFv4.2",
-        "##source=duet_tpu.sv_caller",
+        f"##source=duet_tpu.sv_caller ({family} layout)",
     ] + [
         f"##contig=<ID={c},length={contig_lengths.get(c, 0)}>" for c in calls
     ] + [
@@ -226,12 +231,15 @@ def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
         '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length">',
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
         '##INFO=<ID=RE,Number=1,Type=Integer,Description="Supporting reads">',
+        '##INFO=<ID=SUPPORT,Number=1,Type=Integer,Description="Supporting reads">',
         '##INFO=<ID=RNAMES,Number=.,Type=String,Description="Supporting read names">',
+        '##INFO=<ID=READS,Number=.,Type=String,Description="Supporting read names">',
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         '##FORMAT=<ID=DR,Number=1,Type=Integer,Description="# ref reads">',
         '##FORMAT=<ID=DV,Number=1,Type=Integer,Description="# var reads">',
-        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred GT likelihoods">',
         '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred GT likelihoods">',
+        '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allele depths">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE",
     ]
     records = []
@@ -239,11 +247,22 @@ def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
     for contig, contig_calls in calls.items():
         for c in contig_calls:
             svlen = c.length if c.svtype == "INS" else -c.length
+            names = ",".join(c.read_names)
+            if family == "sniffles":
+                info = (f"SVLEN={svlen};SVTYPE={c.svtype};SUPPORT={c.support};"
+                        f"RNAMES={names}")
+                fmt, sample = "GT:DR:DV", f"{c.gt}:{c.dr}:{c.dv}"
+            elif family == "svim":
+                info = (f"SVLEN={svlen};SVTYPE={c.svtype};SUPPORT={c.support};"
+                        f"READS={names}")
+                fmt, sample = "GT:DP:AD", f"{c.gt}:{c.dr + c.dv}:{c.dr},{c.dv}"
+            else:
+                info = (f"SVLEN={svlen};SVTYPE={c.svtype};RE={c.support};"
+                        f"RNAMES={names}")
+                fmt, sample = "GT:DR:DV:PL:GQ", f"{c.gt}:{c.dr}:{c.dv}:.,.,.:."
             records.append(
-                f"{contig}\t{c.pos + 1}\tduet_tpu.{c.svtype}.{idx}\tN\t<{c.svtype}>\t.\tPASS\t"
-                f"SVLEN={svlen};SVTYPE={c.svtype};RE={c.support};"
-                f"RNAMES={','.join(c.read_names)}\t"
-                f"GT:DR:DV:PL:GQ\t{c.gt}:{c.dr}:{c.dv}:.,.,.:."
+                f"{contig}\t{c.pos + 1}\tduet_tpu.{c.svtype}.{idx}\tN\t"
+                f"<{c.svtype}>\t.\tPASS\t{info}\t{fmt}\t{sample}"
             )
             idx += 1
     write_vcf(path, header, records)

@@ -152,7 +152,7 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
         get_logger().info("resume: keeping %s", artifact)
         return
     calls = call_svs_for_store(st.store, cfg.sv_cfg())
-    write_sv_vcf(artifact, calls, st.store.contig_lengths)
+    write_sv_vcf(artifact, calls, st.store.contig_lengths, family=cfg.sv_caller)
     n = sum(len(v) for v in calls.values())
     get_logger().info("clustered %d SV candidates", n)
 
@@ -335,7 +335,8 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
                      len(calls_all[cr.contig]), len(result.block_ps))
             st.ref.drop_cache(fa_name)
     write_pileup_vcf(os.path.join(snp_dir, "pileup.vcf.gz"), snps_all, lengths)
-    write_sv_vcf(os.path.join(sv_dir, "variants.vcf"), calls_all, lengths)
+    write_sv_vcf(os.path.join(sv_dir, "variants.vcf"), calls_all, lengths,
+                 family=cfg.sv_caller)
     st.snps = snps_all
     with StageTimer("SV PHASING"):
         stage_sv_phasing(cfg, st)
