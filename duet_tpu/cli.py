@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host-kernel", action="store_true",
                    help="run the decision stage on host (float64) instead of "
                         "the device kernel")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a JAX profiler trace of the run into "
+                        "OUTPUT/profile/ (view with TensorBoard or Perfetto)")
     return p
 
 
@@ -73,6 +76,22 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         use_device_kernel=not args.host_kernel,
     )
+    import contextlib
+
+    profiler = contextlib.nullcontext()
+    if args.profile:
+        import os
+
+        import jax
+
+        trace_dir = os.path.join(args.OUTPUT, "profile")
+        os.makedirs(trace_dir, exist_ok=True)
+        profiler = jax.profiler.trace(trace_dir)
+    with profiler:
+        return _dispatch(args, cfg)
+
+
+def _dispatch(args, cfg) -> int:
     try:
         if args.phase_only:
             from duet_tpu.pipeline import run_phase_only

@@ -141,6 +141,7 @@ def load_read_store_native(bam_path: str, min_mapq: int = 0,
             contigs[name] = ContigReads(
                 name, hi - lo, names, pos[lo:hi], end[lo:hi],
                 ((flag[lo:hi] >> 4) & 1).astype(np.uint8), mapq[lo:hi],
+                ((flag[lo:hi] >> 11) & 1).astype(np.uint8),
                 cigar_off[lo:hi + 1] - c0, cigar_ops[c0:c1],
                 cigar_lens[c0:c1], seq_off[lo:hi + 1] - s0,
                 seq_codes[s0:s1], quals[s0:s1],
@@ -167,6 +168,7 @@ def load_read_store_native(bam_path: str, min_mapq: int = 0,
         contigs[name] = ContigReads(
             name, m, names, pos[sel].copy(), end[sel].copy(),
             ((flag[sel] >> 4) & 1).astype(np.uint8), mapq[sel].copy(),
+            ((flag[sel] >> 11) & 1).astype(np.uint8),
             c_off, ops, lens, s_off, seq, qual,
         )
     return ReadStore(contigs, dict(zip(ref_names, ref_lengths)))

@@ -33,7 +33,8 @@ from duet_tpu.io.bam import (
 
 @dataclass
 class ContigReads:
-    """All primary mapped reads of one contig, packed as columns."""
+    """All mapped alignments of one contig (primary + supplementary),
+    packed as columns."""
 
     contig: str
     n: int
@@ -42,6 +43,7 @@ class ContigReads:
     ends: np.ndarray        # (n,) int64, exclusive
     strand: np.ndarray      # (n,) uint8
     mapq: np.ndarray        # (n,) uint8
+    supp: np.ndarray        # (n,) uint8  1 = supplementary alignment
     cigar_off: np.ndarray   # (n+1,) int64 into cigar_ops/cigar_lens
     cigar_ops: np.ndarray   # (total_ops,) int8
     cigar_lens: np.ndarray  # (total_ops,) int32
@@ -71,6 +73,7 @@ def pack_contig(contig: str, reads: list) -> ContigReads:
     ends = np.array([rd.ref_end() for rd in reads], dtype=np.int64)
     strand = np.array([(rd.flag >> 4) & 1 for rd in reads], dtype=np.uint8)
     mapq = np.array([rd.mapq for rd in reads], dtype=np.uint8)
+    supp = np.array([(rd.flag >> 11) & 1 for rd in reads], dtype=np.uint8)
     cigar_off = np.zeros(n + 1, dtype=np.int64)
     seq_off = np.zeros(n + 1, dtype=np.int64)
     for i, rd in enumerate(reads):
@@ -87,22 +90,25 @@ def pack_contig(contig: str, reads: list) -> ContigReads:
         seq[seq_off[i]:seq_off[i + 1]] = rd.seq_codes
         qual[seq_off[i]:seq_off[i + 1]] = rd.quals
     return ContigReads(
-        contig, n, names, starts, ends, strand, mapq,
+        contig, n, names, starts, ends, strand, mapq, supp,
         cigar_off, cigar_ops, cigar_lens, seq_off, seq, qual,
     )
 
 
 def _keep(read, min_mapq: int) -> bool:
-    return (read.is_mapped and read.is_primary
+    # secondary alignments are duplicates of the primary and are dropped;
+    # SUPPLEMENTARY segments are kept — they carry the split-read evidence
+    # the SV caller needs for INV/DUP detection (and WhatsHap haplotags
+    # them too, reference snp_phasing.py:27 --tag-supplementary)
+    from duet_tpu.io.bam import FLAG_SECONDARY
+
+    return (read.is_mapped and not (read.flag & FLAG_SECONDARY)
             and read.mapq >= min_mapq and read.ref_id >= 0)
 
 
 def load_read_store(bam_path: str, min_mapq: int = 0) -> ReadStore:
-    """Single-pass BAM decode -> per-contig packed arrays.
-
-    Keeps primary mapped alignments only (the reference's haplotag join also
-    sees supplementary reads via --tag-supplementary, but their signatures
-    duplicate the primary's; revisit when split-read SV evidence lands)."""
+    """Single-pass BAM decode -> per-contig packed arrays (primary +
+    supplementary mapped alignments; secondary dropped)."""
     per: dict[str, list] = {}
     with BamReader(bam_path) as r:
         ref_names = r.header.ref_names

@@ -398,13 +398,23 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
 
 def read_hap_map(cr: ContigReads, result: PhaseResult) -> dict[str, tuple[int, int, int]]:
     """name -> (hap, ps, pc) join map, the decision stage's input (mirrors
-    reference read_hap_bam's dict, sv_phasing_fn.py:11-34)."""
+    reference read_hap_bam's dict, sv_phasing_fn.py:11-34).
+
+    Primary alignments win over supplementary segments of the same read;
+    a supplementary's tag is used only when the primary is untagged."""
     out = {}
+    supp_only = {}
     for i in range(cr.n):
-        if result.read_hap[i] != 0:
-            out[cr.names[i]] = (
-                int(result.read_hap[i]), int(result.read_ps[i]), int(result.read_pc[i])
-            )
+        if result.read_hap[i] == 0:
+            continue
+        tag = (int(result.read_hap[i]), int(result.read_ps[i]),
+               int(result.read_pc[i]))
+        if cr.supp[i]:
+            supp_only.setdefault(cr.names[i], tag)
+        else:
+            out[cr.names[i]] = tag
+    for name, tag in supp_only.items():
+        out.setdefault(name, tag)
     return out
 
 

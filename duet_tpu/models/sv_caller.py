@@ -38,7 +38,9 @@ from duet_tpu.io.vcf import write_vcf
 
 SVTYPE_INS = 0
 SVTYPE_DEL = 1
-TYPE_NAMES = ("INS", "DEL")
+SVTYPE_INV = 2
+SVTYPE_DUP = 3
+TYPE_NAMES = ("INS", "DEL", "INV", "DUP")
 
 
 @dataclass
@@ -125,6 +127,90 @@ def cmd_as_rational(cmd: float) -> tuple[int, int]:
     return f.numerator, f.denominator
 
 
+def _segment_table(cr: ContigReads, cfg: SvCallConfig):
+    """Per-alignment split-read geometry: (name_id, strand, ref_start,
+    ref_end, fwd_qstart, fwd_qend, n_segments_of_read).
+
+    Query offsets come from leading/trailing clips (S or H) and are
+    normalized to FORWARD-read coordinates: a minus-strand alignment stores
+    its sequence reference-forward, so its stored leading clip counts from
+    the read's tail (fwd_qstart = L - stored_lead - aligned_len)."""
+    ops = cr.cigar_ops
+    lens = cr.cigar_lens.astype(np.int64)
+    lead = np.zeros(cr.n, dtype=np.int64)
+    trail = np.zeros(cr.n, dtype=np.int64)
+    qaln = np.zeros(cr.n, dtype=np.int64)
+    for i in range(cr.n):
+        o = ops[cr.cigar_off[i]:cr.cigar_off[i + 1]]
+        ln = lens[cr.cigar_off[i]:cr.cigar_off[i + 1]]
+        if len(o) == 0:
+            continue
+        if o[0] in (4, 5):
+            lead[i] = ln[0]
+        if len(o) > 1 and o[-1] in (4, 5):
+            trail[i] = ln[-1]
+        q_ops = (o == 0) | (o == 1) | (o == 7) | (o == 8)
+        qaln[i] = ln[q_ops].sum()
+    L = lead + qaln + trail
+    minus = cr.strand == 1
+    fwd_qstart = np.where(minus, trail, lead)
+    return fwd_qstart, fwd_qstart + qaln, L
+
+
+def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
+    """INV/DUP signatures from split alignments (primary + supplementary).
+
+    Per read (grouped by name), segments sorted by forward-query offset:
+      INV — a segment whose strand differs from the read's majority strand
+            (strand-flip breakpoints); span = that segment's ref span
+      DUP — adjacent same-strand segments whose ref coordinates jump
+            BACKWARD (next.ref_start < prev.ref_end): a tandem pass over
+            the same reference span; len = prev.ref_end - next.ref_start
+    """
+    by_name: dict[str, list[int]] = {}
+    for i, name in enumerate(cr.names):
+        by_name.setdefault(name, []).append(i)
+    fwd_qs, fwd_qe, _ = _segment_table(cr, cfg)
+
+    t_parts, p_parts, l_parts, r_parts = [], [], [], []
+    for name, rows in by_name.items():
+        if len(rows) < 2:
+            continue
+        if any(cr.mapq[i] < cfg.min_mapq for i in rows):
+            continue
+        rows = sorted(rows, key=lambda i: int(fwd_qs[i]))
+        strands = np.array([cr.strand[i] for i in rows])
+        # majority strand; tie -> primary's strand
+        if (strands == 1).sum() * 2 == len(rows):
+            prim = [i for i in rows if not cr.supp[i]]
+            dominant = int(cr.strand[prim[0]]) if prim else 0
+        else:
+            dominant = int(round((strands == 1).mean()))
+        anchor = rows[0]
+        for i in rows:
+            if int(cr.strand[i]) != dominant:
+                span = int(cr.ends[i] - cr.starts[i])
+                if span >= cfg.sig_min:
+                    t_parts.append(SVTYPE_INV)
+                    p_parts.append(int(cr.starts[i]))
+                    l_parts.append(span)
+                    r_parts.append(anchor)
+        for a, b in zip(rows[:-1], rows[1:]):
+            if cr.strand[a] == cr.strand[b] and cr.starts[b] < cr.ends[a]:
+                dup_len = int(cr.ends[a] - cr.starts[b])
+                if dup_len >= cfg.sig_min:
+                    t_parts.append(SVTYPE_DUP)
+                    p_parts.append(int(cr.starts[b]))
+                    l_parts.append(dup_len)
+                    r_parts.append(anchor)
+    return Signatures(
+        np.array(t_parts, dtype=np.int8),
+        np.array(p_parts, dtype=np.int64),
+        np.array(l_parts, dtype=np.int64),
+        np.array(r_parts, dtype=np.int32),
+    )
+
+
 def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int):
     """Sorted chain clustering via the shared segment-reduce formulation
     (duet_tpu.ops.cluster) -> list of (call_pos, call_len, member_read_ids)."""
@@ -173,9 +259,16 @@ def _genotype(af: float, depth: int, cfg: SvCallConfig) -> str:
 
 
 def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
-    sigs = extract_signatures(cr, cfg)
+    cig = extract_signatures(cr, cfg)
+    spl = extract_split_signatures(cr, cfg)
+    sigs = Signatures(
+        np.concatenate([cig.svtype, spl.svtype]),
+        np.concatenate([cig.pos, spl.pos]),
+        np.concatenate([cig.length, spl.length]),
+        np.concatenate([cig.read_idx, spl.read_idx]),
+    )
     calls: list[SvCall] = []
-    for svtype in (SVTYPE_INS, SVTYPE_DEL):
+    for svtype in (SVTYPE_INS, SVTYPE_DEL, SVTYPE_INV, SVTYPE_DUP):
         m = sigs.svtype == svtype
         clusters = _cluster_one_type(
             sigs.pos[m], sigs.length[m], sigs.read_idx[m], cfg, svtype
@@ -183,22 +276,25 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
         for cp, cl, member_reads in clusters:
             if cl < cfg.min_size:
                 continue
-            uniq = np.unique(member_reads)
-            support = len(uniq)
+            uniq_rows = np.unique(member_reads)
+            names = sorted({cr.names[i] for i in uniq_rows})
+            support = len(names)
             if support < cfg.min_support:
                 continue
-            # DR: reads spanning the locus that do not support the event
-            spanning = np.flatnonzero(
+            # DR: distinct READ NAMES spanning the locus without supporting
+            # the event (a split read's multiple segments count once)
+            spanning_rows = np.flatnonzero(
                 (cr.starts <= cp - cfg.span_buffer)
                 & (cr.ends >= cp + cfg.span_buffer)
                 & (cr.mapq >= cfg.min_mapq)
             )
-            dr = len(np.setdiff1d(spanning, uniq, assume_unique=False))
+            span_names = {cr.names[i] for i in spanning_rows}
+            dr = len(span_names - set(names))
             dv = support
             af = dv / max(dv + dr, 1)
             calls.append(SvCall(
                 contig=cr.contig, pos=cp, svtype=TYPE_NAMES[svtype], length=cl,
-                support=support, read_names=[cr.names[i] for i in uniq],
+                support=support, read_names=names,
                 gt=_genotype(af, dv + dr, cfg), dr=dr, dv=dv,
             ))
     calls.sort(key=lambda c: c.pos)
@@ -228,6 +324,8 @@ def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
     ] + [
         '##ALT=<ID=INS,Description="Insertion">',
         '##ALT=<ID=DEL,Description="Deletion">',
+        '##ALT=<ID=INV,Description="Inversion">',
+        '##ALT=<ID=DUP,Description="Duplication">',
         '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length">',
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
         '##INFO=<ID=RE,Number=1,Type=Integer,Description="Supporting reads">',
@@ -246,7 +344,7 @@ def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
     idx = 0
     for contig, contig_calls in calls.items():
         for c in contig_calls:
-            svlen = c.length if c.svtype == "INS" else -c.length
+            svlen = -c.length if c.svtype == "DEL" else c.length
             names = ",".join(c.read_names)
             if family == "sniffles":
                 info = (f"SVLEN={svlen};SVTYPE={c.svtype};SUPPORT={c.support};"

@@ -33,6 +33,8 @@ class SimConfig:
     sv_len_min: int = 60
     sv_len_max: int = 600
     hom_sv_fraction: float = 0.25
+    inv_fraction: float = 0.0   # share of SV events that are inversions
+    dup_fraction: float = 0.0   # share that are tandem duplications
     sub_error: float = 0.02
     indel_error: float = 0.01  # small 1-3bp sequencing indels
     qual_mean: int = 22
@@ -46,8 +48,9 @@ class SimTruth:
     snp_alt: dict[str, np.ndarray]
     snp_gt: dict[str, np.ndarray]        # (n,2) alt-presence per hap
     sv_pos: dict[str, np.ndarray]        # 0-based position (base before event)
-    sv_len: dict[str, np.ndarray]        # +ins / -del
+    sv_len: dict[str, np.ndarray]        # +ins/inv/dup, -del
     sv_gt: dict[str, np.ndarray]         # (n,2) presence per hap
+    sv_kind: dict[str, np.ndarray]       # 0 INS, 1 DEL, 2 INV, 3 DUP
     sv_ins_seq: dict[str, list]          # inserted sequences (codes) or None
     read_hap: dict[str, int]             # read name -> haplotype (0/1)
 
@@ -72,31 +75,60 @@ def _simulate_variants(rng, length, cfg):
     grid = np.arange(2_000, length - 3_000, max(cfg.sv_len_max * 4, 3_000))
     rng.shuffle(grid)
     sv_pos = np.sort(grid[: min(n_sv, len(grid))].copy())
-    sv_is_ins = rng.random(len(sv_pos)) < 0.5
-    sv_size = rng.integers(cfg.sv_len_min, cfg.sv_len_max + 1, size=len(sv_pos))
-    sv_len = np.where(sv_is_ins, sv_size, -sv_size).astype(np.int64)
-    hom_sv = rng.random(len(sv_pos)) < cfg.hom_sv_fraction
-    sv_hap = rng.integers(0, 2, size=len(sv_pos))
-    sv_gt = np.zeros((len(sv_pos), 2), dtype=np.int8)
+    n = len(sv_pos)
+    u = rng.random(n)
+    # kind: 0 INS, 1 DEL, 2 INV, 3 DUP
+    sv_kind = np.where(u < cfg.inv_fraction, 2,
+                       np.where(u < cfg.inv_fraction + cfg.dup_fraction, 3,
+                                np.where(rng.random(n) < 0.5, 0, 1))).astype(np.int8)
+    sv_size = rng.integers(cfg.sv_len_min, cfg.sv_len_max + 1, size=n)
+    sv_len = np.where(sv_kind == 1, -sv_size, sv_size).astype(np.int64)
+    hom_sv = rng.random(n) < cfg.hom_sv_fraction
+    sv_hap = rng.integers(0, 2, size=n)
+    sv_gt = np.zeros((n, 2), dtype=np.int8)
     sv_gt[hom_sv] = 1
     sv_gt[~hom_sv, sv_hap[~hom_sv]] = 1
-    ins_seq = [(_rand_codes(rng, s) if i else None) for i, s in zip(sv_is_ins, sv_size)]
+    ins_seq = [(_rand_codes(rng, s) if k == 0 else None)
+               for k, s in zip(sv_kind, sv_size)]
 
-    # drop SNPs inside deletion spans so hap sequences stay consistent
+    # drop SNPs inside event spans so hap sequences stay consistent
     keep = np.ones(len(snp_pos), dtype=bool)
-    for p, l in zip(sv_pos, sv_len):
-        if l < 0:
-            keep &= ~((snp_pos > p) & (snp_pos <= p - l))
-    return (snp_pos[keep], snp_gt[keep], sv_pos, sv_len, sv_gt, ins_seq)
+    for p, l, k in zip(sv_pos, sv_len, sv_kind):
+        if k in (1, 2, 3):
+            keep &= ~((snp_pos > p) & (snp_pos <= p + abs(l)))
+    return (snp_pos[keep], snp_gt[keep], sv_pos, sv_len, sv_gt, sv_kind, ins_seq)
+
+
+def _revcomp(codes: np.ndarray) -> np.ndarray:
+    return np.where(codes < 4, 3 - codes[::-1], 4).astype(np.uint8)
+
+
+def _apply_sub_errors(rng, codes, cfg):
+    n = len(codes)
+    if n == 0:
+        return codes
+    sub_mask = rng.random(n) < cfg.sub_error
+    if sub_mask.any():
+        codes = codes.copy()
+        codes[sub_mask] = (codes[sub_mask]
+                           + rng.integers(1, 4, size=int(sub_mask.sum()))) % 4
+    return codes
 
 
 def _simulate_read(rng, ref_codes, start, target_span, hap,
-                   snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, ins_seq, cfg):
+                   snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, sv_kind,
+                   ins_seq, cfg):
     """Walk the reference from `start`, emitting the haplotype's bases with
-    sequencing errors; returns (seq_codes, quals, cigar_ops[list[(op,len)]]).
-    Alignment is exact by construction (the simulator plays aligner)."""
-    seq = []
+    sequencing errors.  Returns a list of alignment segments
+    [(ref_start, strand, codes, quals, cigar)] in read order — one segment
+    for plain reads, several when the read crosses a carried INV or DUP
+    (the simulator plays aligner and splits exactly at the breakpoints).
+    Segment codes/quals are in the STORED (reference-forward) orientation;
+    a minus-strand segment's read content is the reverse complement."""
+    segments = []  # (ref_start, strand, seq_parts, cig)
+    seq: list = []
     cig: list[list[int]] = []  # [op, len]; op: 0=M 1=I 2=D
+    seg_ref_start = start
 
     def add(op, ln):
         if ln <= 0:
@@ -106,39 +138,77 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
         else:
             cig.append([op, ln])
 
-    # variant lookup structures
+    def close_segment():
+        nonlocal seq, cig
+        if seq:
+            segments.append((seg_ref_start, 0, seq, cig))
+        seq, cig = [], []
+
     sv_idx = np.searchsorted(sv_pos, start)
     snp_idx = np.searchsorted(snp_pos, start)
     pos = start
     end_target = min(start + target_span, len(ref_codes))
     while pos < end_target:
-        # next event position
         next_sv = sv_pos[sv_idx] if sv_idx < len(sv_pos) else end_target
         next_snp = snp_pos[snp_idx] if snp_idx < len(snp_pos) else end_target
         nxt = min(next_sv, next_snp, end_target)
         if nxt > pos:
-            seg = ref_codes[pos:nxt].copy()
-            seq.append(seg)
+            seq.append(ref_codes[pos:nxt].copy())
             add(0, nxt - pos)
             pos = nxt
             continue
         if sv_idx < len(sv_pos) and pos == sv_pos[sv_idx]:
-            if sv_gt[sv_idx, hap]:
-                ln = sv_len[sv_idx]
-                if ln > 0:
-                    # emit the anchor base then the insertion
-                    seq.append(ref_codes[pos : pos + 1].copy())
-                    add(0, 1)
-                    seq.append(ins_seq[sv_idx].copy())
-                    add(1, ln)
-                    pos += 1
+            carried = sv_gt[sv_idx, hap]
+            kind = sv_kind[sv_idx]
+            ln = sv_len[sv_idx]
+            if carried and kind == 0:          # INS
+                seq.append(ref_codes[pos:pos + 1].copy())
+                add(0, 1)
+                seq.append(ins_seq[sv_idx].copy())
+                add(1, ln)
+                pos += 1
+            elif carried and kind == 1:        # DEL
+                seq.append(ref_codes[pos:pos + 1].copy())
+                add(0, 1)
+                add(2, -ln)
+                pos += 1 - ln
+            elif carried and kind == 2:        # INV: split, middle segment minus
+                a, b = pos, pos + ln
+                v = min(end_target - a, ln)
+                if v >= 30:
+                    close_segment()
+                    inv_codes = ref_codes[b - v:b].copy()
+                    segments.append((b - v, 1, [inv_codes], [[0, int(v)]]))
+                    if v == ln and end_target > b:
+                        seg_ref_start = b
+                    pos = b if v == ln else end_target
                 else:
-                    seq.append(ref_codes[pos : pos + 1].copy())
-                    add(0, 1)
-                    add(2, -ln)
-                    pos += 1 - ln
+                    # read barely enters the inversion (<30bp): emit plain
+                    # reference bases — negligible content error at read end
+                    upto = min(b, end_target)
+                    seq.append(ref_codes[pos:upto].copy())
+                    add(0, upto - pos)
+                    pos = upto
+            elif carried and kind == 3:        # DUP: tandem second pass
+                a, b = pos, pos + ln
+                # first copy reads as normal reference up to b
+                upto = min(b, end_target)
+                seq.append(ref_codes[pos:upto].copy())
+                add(0, upto - pos)
+                pos = upto
+                if pos == b and end_target > b:
+                    v2 = min(end_target - b, ln)
+                    if v2 >= 30:
+                        close_segment()
+                        segments.append((a, 0, [ref_codes[a:a + v2].copy()],
+                                         [[0, int(v2)]]))
+                        if v2 == ln:
+                            seg_ref_start = b
+                            # third segment continues after the dup
+                        else:
+                            pos = end_target
+                    # else: too short, just continue (dup unseen)
             sv_idx += 1
-            # skip SNPs consumed by a deletion
             while snp_idx < len(snp_pos) and snp_pos[snp_idx] < pos:
                 snp_idx += 1
             continue
@@ -150,36 +220,35 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
         add(0, 1)
         pos += 1
         snp_idx += 1
+    close_segment()
 
-    codes = np.concatenate(seq) if seq else np.zeros(0, dtype=np.uint8)
-
-    # sequencing errors: substitutions + small indels (query-space edit)
-    n = len(codes)
-    if n == 0:
-        return codes, np.zeros(0, dtype=np.uint8), cig
-    sub_mask = rng.random(n) < cfg.sub_error
-    if sub_mask.any():
-        codes = codes.copy()
-        codes[sub_mask] = (codes[sub_mask] + rng.integers(1, 4, size=int(sub_mask.sum()))) % 4
-    quals = np.clip(rng.normal(cfg.qual_mean, 4, size=len(codes)), 5, 40).astype(np.uint8)
-    # small indels are folded into the CIGAR as 1-3 bp I/D between M runs
-    # (kept rare; they never reach SV size so downstream filters drop them)
-    if rng.random() < cfg.indel_error * 10 and len(cig) > 0 and cig[0][1] > 20:
-        k = int(rng.integers(1, 4))
-        cut = int(rng.integers(5, min(cig[0][1] - 5, 2000)))
-        first = cig[0]
-        rest = cig[1:]
-        if rng.random() < 0.5:
-            ins = _rand_codes(rng, k)
-            codes = np.concatenate([codes[:cut], ins, codes[cut:]])
-            quals = np.concatenate([quals[:cut], np.full(k, cfg.qual_mean, np.uint8), quals[cut:]])
-            cig = [[0, cut], [1, k], [0, first[1] - cut]] + rest
-        else:
-            if first[1] - cut > k + 5:
+    out = []
+    single = len(segments) == 1
+    for ref_start, strand, seq_parts, seg_cig in segments:
+        codes = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8)
+        codes = _apply_sub_errors(rng, codes, cfg)
+        quals = np.clip(rng.normal(cfg.qual_mean, 4, size=len(codes)),
+                        5, 40).astype(np.uint8)
+        # small sequencing indels only on single-segment reads (keeps split
+        # bookkeeping simple; they never reach SV size anyway)
+        if single and rng.random() < cfg.indel_error * 10 and seg_cig \
+                and seg_cig[0][1] > 20:
+            k = int(rng.integers(1, 4))
+            cut = int(rng.integers(5, min(seg_cig[0][1] - 5, 2000)))
+            first = seg_cig[0]
+            rest = seg_cig[1:]
+            if rng.random() < 0.5:
+                ins = _rand_codes(rng, k)
+                codes = np.concatenate([codes[:cut], ins, codes[cut:]])
+                quals = np.concatenate(
+                    [quals[:cut], np.full(k, cfg.qual_mean, np.uint8), quals[cut:]])
+                seg_cig = [[0, cut], [1, k], [0, first[1] - cut]] + rest
+            elif first[1] - cut > k + 5:
                 codes = np.concatenate([codes[:cut], codes[cut + k:]])
                 quals = np.concatenate([quals[:cut], quals[cut + k:]])
-                cig = [[0, cut], [2, k], [0, first[1] - cut - k]] + rest
-    return codes, quals, cig
+                seg_cig = [[0, cut], [2, k], [0, first[1] - cut - k]] + rest
+        out.append((ref_start, strand, codes, quals, seg_cig))
+    return out
 
 
 def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
@@ -191,17 +260,19 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
     os.makedirs(out_dir, exist_ok=True)
 
     contig_seqs: dict[str, str] = {}
-    truth = SimTruth({}, {}, {}, {}, {}, {}, {}, {}, {})
+    truth = SimTruth({}, {}, {}, {}, {}, {}, {}, {}, {}, {})
     contig_codes: dict[str, np.ndarray] = {}
     variants = {}
     for name, length in cfg.contigs.items():
         codes = _rand_codes(rng, length)
         contig_codes[name] = codes
         contig_seqs[name] = decode_bases(codes)
-        snp_pos, snp_gt, sv_pos, sv_len, sv_gt, ins_seq = _simulate_variants(rng, length, cfg)
+        snp_pos, snp_gt, sv_pos, sv_len, sv_gt, sv_kind, ins_seq = \
+            _simulate_variants(rng, length, cfg)
         snp_ref = codes[snp_pos]
         snp_alt = (snp_ref + rng.integers(1, 4, size=len(snp_pos))) % 4
-        variants[name] = (snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, ins_seq)
+        variants[name] = (snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt,
+                          sv_kind, ins_seq)
         truth.snp_pos[name] = snp_pos
         truth.snp_ref[name] = snp_ref.astype(np.uint8)
         truth.snp_alt[name] = snp_alt.astype(np.uint8)
@@ -209,6 +280,7 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
         truth.sv_pos[name] = sv_pos
         truth.sv_len[name] = sv_len
         truth.sv_gt[name] = sv_gt
+        truth.sv_kind[name] = sv_kind
         truth.sv_ins_seq[name] = ins_seq
 
     ref_path = os.path.join(out_dir, "ref.fa")
@@ -220,33 +292,57 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
     header = BamHeader(header_text, list(cfg.contigs), list(cfg.contigs.values()))
     bam_path = os.path.join(out_dir, "reads.bam")
     read_counter = 0
-    with BamWriter(bam_path, header) as w:
-        for ref_id, (name, length) in enumerate(cfg.contigs.items()):
-            snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, ins_seq = (
-                variants[name][0], variants[name][1], variants[name][2],
-                variants[name][3], variants[name][4], variants[name][5],
-                variants[name][6],
+    all_records = []
+    for ref_id, (name, length) in enumerate(cfg.contigs.items()):
+        (snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, sv_kind,
+         ins_seq) = variants[name]
+        codes = contig_codes[name]
+        n_reads = int(cfg.coverage * length / cfg.read_len_mean)
+        starts = np.sort(rng.integers(0, max(1, length - 200), size=n_reads))
+        spans = (cfg.read_len_mean
+                 * np.exp(rng.normal(0, cfg.read_len_sigma, n_reads))).astype(int)
+        spans = np.clip(spans, 500, None)
+        haps = rng.integers(0, 2, size=n_reads)
+        for i in range(n_reads):
+            segments = _simulate_read(
+                rng, codes, int(starts[i]), int(spans[i]), int(haps[i]),
+                snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, sv_kind,
+                ins_seq, cfg,
             )
-            codes = contig_codes[name]
-            n_reads = int(cfg.coverage * length / cfg.read_len_mean)
-            starts = np.sort(rng.integers(0, max(1, length - 200), size=n_reads))
-            spans = (cfg.read_len_mean * np.exp(rng.normal(0, cfg.read_len_sigma, n_reads))).astype(int)
-            spans = np.clip(spans, 500, None)
-            haps = rng.integers(0, 2, size=n_reads)
-            for i in range(n_reads):
-                seq, quals, cig = _simulate_read(
-                    rng, codes, int(starts[i]), int(spans[i]), int(haps[i]),
-                    snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, ins_seq, cfg,
-                )
-                if len(seq) < 200:
-                    continue
-                rname = f"read_{read_counter}"
-                read_counter += 1
-                truth.read_hap[rname] = int(haps[i])
-                flag = 16 if rng.random() < 0.5 else 0
-                cigar = np.array(cig, dtype=np.int32)
-                w.write(BamRead(rname, flag, ref_id, int(starts[i]),
-                                60, cigar, seq, quals, {}))
+            total = sum(len(s[2]) for s in segments)
+            if total < 200 or not segments:
+                continue
+            rname = f"read_{read_counter}"
+            read_counter += 1
+            truth.read_hap[rname] = int(haps[i])
+            primary = max(range(len(segments)), key=lambda k: len(segments[k][2]))
+            # forward-read query offsets per segment (read order)
+            q_off = np.cumsum([0] + [len(s[2]) for s in segments])
+            L = int(q_off[-1])
+            for k, (ref_start, strand, seg_codes, seg_quals, seg_cig) in \
+                    enumerate(segments):
+                qs, qe = int(q_off[k]), int(q_off[k + 1])
+                # stored-orientation hard clips: a minus-strand record's
+                # stored sequence is reference-forward, i.e. the read's
+                # reverse complement — clips swap ends
+                lead = (L - qe) if strand else qs
+                trail = qs if strand else (L - qe)
+                cig_full = []
+                if lead:
+                    cig_full.append([5, lead])
+                cig_full.extend(seg_cig)
+                if trail:
+                    cig_full.append([5, trail])
+                flag = (0x10 if strand else 0) | (0 if k == primary else 0x800)
+                all_records.append((ref_id, int(ref_start), BamRead(
+                    rname, flag, ref_id, int(ref_start), 60,
+                    np.array(cig_full, dtype=np.int32),
+                    seg_codes, seg_quals, {},
+                )))
+    all_records.sort(key=lambda t: (t[0], t[1]))
+    with BamWriter(bam_path, header) as w:
+        for _, _, rec in all_records:
+            w.write(rec)
     write_bai_stub(bam_path)
 
     _write_truth_vcf(os.path.join(out_dir, "truth.vcf"), cfg, truth)
@@ -264,12 +360,14 @@ def _write_truth_vcf(path: str, cfg: SimConfig, truth: SimTruth) -> None:
         '##FORMAT=<ID=PS,Number=1,Type=String,Description="Phase set">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE",
     ]
+    kind_names = ("INS", "DEL", "INV", "DUP")
     records = []
     for name in truth.sv_pos:
-        for i, (p, l, gt) in enumerate(
-            zip(truth.sv_pos[name], truth.sv_len[name], truth.sv_gt[name])
+        for i, (p, l, gt, k) in enumerate(
+            zip(truth.sv_pos[name], truth.sv_len[name], truth.sv_gt[name],
+                truth.sv_kind[name])
         ):
-            svtype = "INS" if l > 0 else "DEL"
+            svtype = kind_names[int(k)]
             gts = f"{gt[0]}|{gt[1]}"
             records.append(
                 f"{name}\t{p + 1}\ttruth.{name}.{i}\tN\t<{svtype}>\t.\tPASS\t"

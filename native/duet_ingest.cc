@@ -98,7 +98,9 @@ bool inflate_block(const uint8_t* src, size_t src_size, uint8_t* dst,
   return rc == Z_STREAM_END && s.total_out == dst_size;
 }
 
-constexpr uint16_t kSkipFlags = 0x4 | 0x100 | 0x800;  // unmapped/secondary/suppl
+// skip unmapped + secondary; KEEP supplementary segments — they carry the
+// split-read evidence the SV caller needs (matches the Python reader)
+constexpr uint16_t kSkipFlags = 0x4 | 0x100;
 
 // nibble -> framework base code (A=0 C=1 G=2 T=3 N/other=4)
 constexpr uint8_t kNibCode[16] = {4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4};
