@@ -256,10 +256,17 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--pctsim", type=float, default=0.0)
     p.add_argument("-b", "--bed", default=None)
     p.add_argument("-a", "--all_ctgs", action="store_true")
+    p.add_argument("--skip_phasing", action="store_true",
+                   help="report calling/genotyping only (reference "
+                        "evaluation.py flag parity)")
     args = p.parse_args(argv)
     res = evaluate_files(args.call_vcf, args.truth_vcf, args.refdist,
                          args.pctsim, args.bed, args.all_ctgs)
-    print(json.dumps(res.summary(), indent=2))
+    summary = res.summary()
+    if args.skip_phasing:
+        summary.pop("phasing", None)
+        summary.pop("avg_sv_per_phase_set", None)
+    print(json.dumps(summary, indent=2))
     return 0
 
 

@@ -92,6 +92,19 @@ def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
     return positions, cr.seq[qidx], cr.qual[qidx], read_idx
 
 
+def filter_observations_to_sites(positions, bases, quals, read_idx,
+                                 site_pos: np.ndarray):
+    """Keep only observations landing on `site_pos` (sorted). The SNP stage
+    computes the full observation stream once; this small slice is all the
+    phasing stage's allele matrix needs — no second pileup pass."""
+    j = np.searchsorted(site_pos, positions)
+    m = len(site_pos)
+    ok = j < m
+    jc = np.minimum(j, max(m - 1, 0))
+    at = ok & (site_pos[jc] == positions) if m else np.zeros(len(positions), bool)
+    return positions[at], bases[at], quals[at], read_idx[at]
+
+
 def count_alleles(positions, bases, quals, length: int, min_base_qual: int) -> np.ndarray:
     """(L, 4) allele counts; N bases and low-qual bases are dropped."""
     keep = (bases < 4) & (quals >= min_base_qual)
@@ -144,29 +157,38 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
 
 
 def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
-                        cfg: SnpCallConfig | None = None,
-                        threads: int = 1) -> dict[str, ContigSnps]:
+                        cfg: SnpCallConfig | None = None, threads: int = 1):
     """ref_codes: per-contig uint8 base-code arrays (FastaFile.fetch_codes).
 
-    Contigs are independent; `threads` fans them out on a thread pool (the
-    framework's in-process answer to the reference's -t passthrough and
-    GNU-parallel per-chromosome processes, SURVEY.md §2.4)."""
+    Returns (snps_by_contig, site_obs_by_contig) — the site-filtered
+    observation streams let the phasing stage build its allele matrix
+    without a second pileup pass.  Contigs are independent; `threads` fans
+    them out on a thread pool (the framework's in-process answer to the
+    reference's -t passthrough and GNU-parallel per-chromosome processes,
+    SURVEY.md §2.4)."""
     cfg = cfg or SnpCallConfig()
 
     def one(item):
         contig, cr = item
         codes = ref_codes[contig]
-        positions, bases, quals, _ = pileup_observations(cr, cfg)
-        counts = count_alleles(positions, bases, quals, len(codes), cfg.min_base_qual)
-        return contig, call_snps(contig, counts, codes, cfg)
+        obs = pileup_observations(cr, cfg)
+        counts = count_alleles(obs[0], obs[1], obs[2], len(codes),
+                               cfg.min_base_qual)
+        snps = call_snps(contig, counts, codes, cfg)
+        site_obs = filter_observations_to_sites(*obs, snps.pos)
+        return contig, snps, site_obs
 
     work = [(c, cr) for c, cr in store.contigs.items() if c in ref_codes]
     if threads > 1 and len(work) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(threads) as ex:
-            return dict(ex.map(one, work))
-    return dict(map(one, work))
+            results = list(ex.map(one, work))
+    else:
+        results = list(map(one, work))
+    snps_out = {c: s for c, s, _ in results}
+    obs_out = {c: o for c, _, o in results}
+    return snps_out, obs_out
 
 
 def write_pileup_vcf(path: str, snps: dict[str, ContigSnps],

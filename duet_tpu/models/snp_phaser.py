@@ -70,11 +70,13 @@ class PhaseResult:
 
 
 def build_allele_matrix(cr: ContigReads, snps: ContigSnps,
-                        cfg: SnpCallConfig | None = None) -> AlleleMatrix:
+                        cfg: SnpCallConfig | None = None,
+                        obs=None) -> AlleleMatrix:
     """Intersect every aligned base with the het-SNP site list.
 
-    Uses the same flattened (pos, base, qual, read) observation stream as the
-    pileup counter — one ingest pass serves both stages."""
+    `obs` may carry a precomputed (positions, bases, quals, read_idx)
+    observation stream (already restricted to SNP sites or not) from the
+    SNP-calling stage; otherwise the stream is rebuilt from the reads."""
     cfg = cfg or SnpCallConfig()
     het = np.flatnonzero(snps.is_het)
     site_pos = snps.pos[het]
@@ -86,7 +88,9 @@ def build_allele_matrix(cr: ContigReads, snps: ContigSnps,
         return AlleleMatrix(cr.n, 0, site_pos, z, z,
                             z.astype(np.int8), z.astype(np.float32))
 
-    positions, bases, quals, read_idx = pileup_observations(cr, cfg)
+    positions, bases, quals, read_idx = (
+        obs if obs is not None else pileup_observations(cr, cfg)
+    )
     j = np.searchsorted(site_pos, positions)
     j_ok = (j < m)
     j_clip = np.minimum(j, m - 1)
@@ -382,8 +386,8 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 
 def phase_contig(cr: ContigReads, snps: ContigSnps,
                  cfg: SnpCallConfig | None = None, sweeps: int = 2,
-                 use_device: bool = False) -> PhaseResult:
-    am = build_allele_matrix(cr, snps, cfg)
+                 use_device: bool = False, obs=None) -> PhaseResult:
+    am = build_allele_matrix(cr, snps, cfg, obs=obs)
     phase, block_id, block_ps = _initial_phase(am)
     phase = _power_refine(am, phase, block_id, sweeps)
     phase = _switch_correct(am, phase, block_id)

@@ -111,6 +111,7 @@ class PipelineState:
     store: ReadStore | None = None
     ref: FastaFile | None = None
     snps: dict[str, ContigSnps] = field(default_factory=dict)
+    site_obs: dict[str, tuple] = field(default_factory=dict)
     phase_results: dict[str, PhaseResult] = field(default_factory=dict)
     read_haps: dict[str, dict[str, tuple[int, int, int]]] = field(default_factory=dict)
 
@@ -137,8 +138,8 @@ def stage_snp_calling(cfg: PipelineConfig, st: PipelineState) -> None:
         return
     ref_codes = {c: st.ref.fetch_codes(c)
                  for c in _work_contigs(cfg, st.ref.contig_names)}
-    st.snps = call_snps_for_store(st.store, ref_codes, cfg.snp_cfg(),
-                                  threads=cfg.threads)
+    st.snps, st.site_obs = call_snps_for_store(
+        st.store, ref_codes, cfg.snp_cfg(), threads=cfg.threads)
     write_pileup_vcf(artifact, st.snps, st.store.contig_lengths)
     n = sum(len(s.pos) for s in st.snps.values())
     get_logger().info("called %d SNP sites over %d contigs", n, len(st.snps))
@@ -165,7 +166,8 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
         contig, snps = item
         cr = st.store.contigs[contig]
         result = phase_contig(cr, snps, cfg.snp_cfg(),
-                              use_device=cfg.use_device_kernel)
+                              use_device=cfg.use_device_kernel,
+                              obs=st.site_obs.get(contig))
         return contig, snps, cr, result
 
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
@@ -311,16 +313,23 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             fa_name = aliases[cr.contig] if aliases[cr.contig] in st.ref.index \
                 else cr.contig
             codes = st.ref.fetch_codes(fa_name)
-            from duet_tpu.models.snp_caller import call_snps, count_alleles
+            from duet_tpu.models.snp_caller import (
+                call_snps,
+                count_alleles,
+                filter_observations_to_sites,
+            )
 
-            positions, bases, quals, _ = pileup_observations_for(cr, cfg)
-            counts = count_alleles(positions, bases, quals, len(codes),
+            obs = pileup_observations_for(cr, cfg)
+            counts = count_alleles(obs[0], obs[1], obs[2], len(codes),
                                    cfg.snp_cfg().min_base_qual)
             snps = call_snps(cr.contig, counts, codes, cfg.snp_cfg())
+            site_obs = filter_observations_to_sites(*obs, snps.pos)
+            del obs
             snps_all[cr.contig] = snps
             calls_all[cr.contig] = call_svs_for_contig(cr, cfg.sv_cfg())
             result = phase_contig(cr, snps, cfg.snp_cfg(),
-                                  use_device=cfg.use_device_kernel)
+                                  use_device=cfg.use_device_kernel,
+                                  obs=site_obs)
             st.read_haps[cr.contig] = read_hap_map(cr, result)
             write_phased_snp_vcf(
                 os.path.join(ph_dir, f"phased_{cr.contig}.vcf.gz"),

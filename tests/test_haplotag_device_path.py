@@ -33,7 +33,7 @@ def test_phase_contig_device_flag(sim_dataset):
     out, _, _ = sim_dataset
     store = load_read_store(f"{out}/reads.bam")
     fa = FastaFile(f"{out}/ref.fa")
-    snps = call_snps_for_store(store, {"chr21": fa.fetch_codes("chr21")})
+    snps, _ = call_snps_for_store(store, {"chr21": fa.fetch_codes("chr21")})
     cr = store.contigs["chr21"]
     host = sp.phase_contig(cr, snps["chr21"], use_device=False)
     dev = sp.phase_contig(cr, snps["chr21"], use_device=True)

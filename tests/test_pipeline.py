@@ -84,7 +84,7 @@ def test_haplotag_accuracy_vs_truth(demo):
     d, truth = demo
     store = load_read_store(str(d / "reads.bam"))
     fa = FastaFile(str(d / "ref.fa"))
-    snps = call_snps_for_store(store, {"chr21": fa.fetch_codes("chr21")})
+    snps, _ = call_snps_for_store(store, {"chr21": fa.fetch_codes("chr21")})
     cr = store.contigs["chr21"]
     res = phase_contig(cr, snps["chr21"])
     agree = disagree = 0
