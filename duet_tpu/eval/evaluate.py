@@ -46,8 +46,6 @@ def _normalize_gt(gt: str) -> str | None:
         return None
     if gt in ("1|0", "0|1", "1|1"):
         return gt
-    if gt in ("0|1", "1|0"):
-        return gt
     if gt == "1|2" or gt == "2|1":
         return "1|1"
     return "het" if "0" in gt else "hom"
@@ -140,6 +138,7 @@ class EvalResult:
     phase_total: int
     avg_sv_per_ps: float
     matches: list = field(default_factory=list)
+    truth_hets: int = 0
 
     def _prf(self, tp, denom_p, denom_r):
         p = tp / denom_p if denom_p else 0.0
@@ -157,8 +156,9 @@ class EvalResult:
 
     @property
     def phasing(self):
-        # precision over phaseable matched hets, recall vs truth hets
-        return self._prf(self.phase_tp, self.phase_total, self.phase_total)
+        # precision over matched phased het pairs; recall vs ALL truth hets
+        return self._prf(self.phase_tp, self.phase_total,
+                         max(self.truth_hets, self.phase_total))
 
     def summary(self) -> dict:
         c, g, ph = self.calling, self.genotyping, self.phasing
@@ -173,10 +173,12 @@ class EvalResult:
 
 def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
                       refdist: int = 1000, pctsim: float = 0.0) -> EvalResult:
-    # group truth by (chrom, svtype)
+    # group truth by (chrom, svtype), position-sorted within each group
     tgroup: dict[tuple[str, str], list[int]] = {}
     for i, t in enumerate(truth):
         tgroup.setdefault((t.chrom, t.svtype), []).append(i)
+    for k in tgroup:
+        tgroup[k].sort(key=lambda i: truth[i].pos)
     tpos = {k: np.array([truth[i].pos for i in v]) for k, v in tgroup.items()}
 
     call_tp = 0
@@ -188,19 +190,19 @@ def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
         if key not in tgroup:
             continue
         pos_arr = tpos[key]
-        j = np.searchsorted(pos_arr, c.pos)
+        # every unused truth candidate within refdist; nearest wins
+        lo = int(np.searchsorted(pos_arr, c.pos - refdist, "left"))
+        hi = int(np.searchsorted(pos_arr, c.pos + refdist, "right"))
         best = None
-        for cand in (j - 1, j, j + 1):
-            if 0 <= cand < len(pos_arr):
-                ti = tgroup[key][cand]
-                if ti in used:
-                    continue
-                d = abs(int(pos_arr[cand]) - c.pos)
-                t = truth[ti]
-                ratio = min(c.svlen, t.svlen) / max(c.svlen, t.svlen)
-                if d <= refdist and ratio >= pctsim:
-                    if best is None or d < best[0]:
-                        best = (d, ti)
+        for cand in range(lo, hi):
+            ti = tgroup[key][cand]
+            if ti in used:
+                continue
+            d = abs(int(pos_arr[cand]) - c.pos)
+            t = truth[ti]
+            ratio = min(c.svlen, t.svlen) / max(c.svlen, t.svlen)
+            if ratio >= pctsim and (best is None or d < best[0]):
+                best = (d, ti)
         if best is not None:
             used.add(best[1])
             call_tp += 1
@@ -208,7 +210,9 @@ def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
             if _gt_class(c.gt) == _gt_class(truth[best[1]].gt):
                 gt_tp += 1
 
-    # phasing: per call phase set, orientation-invariant het agreement
+    # phasing: per call phase set, orientation-invariant het agreement.
+    # precision is over matched phased het pairs; recall over ALL truth hets
+    # (unmatched truth hets count as misses)
     ps_groups: dict[str, list[tuple[str, str]]] = {}
     for ci, ti in matches:
         c, t = calls[ci], truth[ti]
@@ -222,6 +226,7 @@ def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
         flipped = sum(flip[cg] == tg for cg, tg in pairs)
         phase_tp += max(same, flipped)
         phase_total += len(pairs)
+    truth_hets = sum(t.gt in ("1|0", "0|1", "het") for t in truth)
 
     # avg SVs per phase set over the emitted callset
     ps_counts: dict[str, int] = {}
@@ -231,7 +236,8 @@ def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
     avg = float(np.mean(list(ps_counts.values()))) if ps_counts else 0.0
 
     return EvalResult(len(truth), len(calls), call_tp, gt_tp,
-                      phase_tp, phase_total, avg, matches)
+                      phase_tp, phase_total, avg, matches,
+                      truth_hets=truth_hets)
 
 
 def evaluate_files(call_vcf: str, truth_vcf: str, refdist: int = 1000,

@@ -80,14 +80,15 @@ def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
     if len(m_lens) == 0:
         return empty
     total = int(m_lens.sum())
-    # grouped arange: per-base offset within its op. int32 throughout —
-    # contig coords and per-contig base totals are < 2^31 and the smaller
-    # arrays halve memory traffic on the hot path
+    # grouped arange: per-base offset within its op. int32 halves memory
+    # traffic on the hot path; fall back to int64 when a contig's matched
+    # bases or sequence bytes could overflow (chr1-scale deep coverage)
+    idx_t = np.int32 if max(total, len(cr.seq)) < 2**31 else np.int64
     boundary = (np.cumsum(m_lens) - m_lens).astype(np.int64)
-    within = np.arange(total, dtype=np.int32) - np.repeat(
-        boundary, m_lens).astype(np.int32)
-    positions = np.repeat(op_ref[is_match].astype(np.int32), m_lens) + within
-    qidx = np.repeat(op_q[is_match].astype(np.int32), m_lens) + within
+    within = np.arange(total, dtype=idx_t) - np.repeat(
+        boundary, m_lens).astype(idx_t)
+    positions = np.repeat(op_ref[is_match].astype(idx_t), m_lens) + within
+    qidx = np.repeat(op_q[is_match].astype(idx_t), m_lens) + within
     read_idx = np.repeat(op_read[is_match], m_lens).astype(np.int32)
     return positions, cr.seq[qidx], cr.qual[qidx], read_idx
 

@@ -183,12 +183,18 @@ def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     sum_r (L_r + R_r)^2 by -4*E_j > 0, hence the loop terminates.  All E_j
     are computed in O(nnz) per round with an event-driven prefix scan."""
     phase = phase.copy()
+    # group observations by their site's block ONCE
+    obs_block = block_id[am.col]
+    obs_order = np.argsort(obs_block, kind="stable")
+    obs_block_sorted = obs_block[obs_order]
     for b in np.unique(block_id[block_id >= 0]):
         cols_b = np.flatnonzero(block_id == b)
         m = len(cols_b)
         if m < 2:
             continue
-        sel = np.flatnonzero(block_id[am.col] == b)
+        s0 = int(np.searchsorted(obs_block_sorted, b, "left"))
+        s1 = int(np.searchsorted(obs_block_sorted, b, "right"))
+        sel = obs_order[s0:s1]
         if len(sel) == 0:
             continue
         lj = np.searchsorted(cols_b, am.col[sel])
@@ -325,15 +331,20 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 
     nblocks = max(len(block_ps), 1)
     S_w = window + halo
+    # partition observations by their read's window ONCE (span_ok reads have
+    # every observation inside their window's column range by construction)
+    w_of_obs = np.where(span_ok[am.row], w_of_read[am.row], -1)
+    obs_order = np.argsort(w_of_obs, kind="stable")
+    w_sorted = w_of_obs[obs_order]
     for w in range(0, (m + window - 1) // window):
         rows = np.flatnonzero((w_of_read == w) & span_ok)
         if len(rows) == 0:
             continue
         lo = w * window
         hi = min(lo + S_w, m)
-        sel = np.flatnonzero(
-            np.isin(am.row, rows) & (am.col >= lo) & (am.col < hi)
-        )
+        o0 = int(np.searchsorted(w_sorted, w, "left"))
+        o1 = int(np.searchsorted(w_sorted, w, "right"))
+        sel = obs_order[o0:o1]
         row_local = np.searchsorted(rows, am.row[sel])
         col_local = am.col[sel] - lo
         R_pad = max(int(np.ceil(len(rows) / 256)) * 256, 256)
@@ -439,7 +450,7 @@ def write_phased_snp_vcf(path: str, contig: str, snps: ContigSnps,
     ]
     het_idx = np.flatnonzero(snps.is_het)
     pos_to_row = {int(snps.pos[k]): k for k in het_idx}
-    records = []
+    rows = []  # (pos, record) so the emitted VCF stays position-sorted
     for j in range(len(result.site_pos)):
         p = int(result.site_pos[j])
         k = pos_to_row[p]
@@ -448,14 +459,12 @@ def write_phased_snp_vcf(path: str, contig: str, snps: ContigSnps,
         else:
             gt = "1|0" if result.phase[j] > 0 else "0|1"
             ps = str(result.block_ps[result.block_id[j]])
-        records.append(
-            f"{contig}\t{p + 1}\t.\t{BASES[snps.ref_code[k]]}\t"
-            f"{BASES[snps.alt_code[k]]}\t.\tPASS\t.\tGT:PS\t{gt}:{ps}"
-        )
+        rows.append((p, f"{contig}\t{p + 1}\t.\t{BASES[snps.ref_code[k]]}\t"
+                        f"{BASES[snps.alt_code[k]]}\t.\tPASS\t.\tGT:PS\t{gt}:{ps}"))
     # hom-alt sites pass through unphased (WhatsHap phases hets only)
     for k in np.flatnonzero(~snps.is_het):
-        records.append(
-            f"{contig}\t{snps.pos[k] + 1}\t.\t{BASES[snps.ref_code[k]]}\t"
-            f"{BASES[snps.alt_code[k]]}\t.\tPASS\t.\tGT:PS\t1/1:."
-        )
-    write_vcf(path, header, records)
+        rows.append((int(snps.pos[k]),
+                     f"{contig}\t{snps.pos[k] + 1}\t.\t{BASES[snps.ref_code[k]]}\t"
+                     f"{BASES[snps.alt_code[k]]}\t.\tPASS\t.\tGT:PS\t1/1:."))
+    rows.sort(key=lambda r: r[0])
+    write_vcf(path, header, [r[1] for r in rows])

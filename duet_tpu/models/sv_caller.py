@@ -163,9 +163,11 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
     Per read (grouped by name), segments sorted by forward-query offset:
       INV — a segment whose strand differs from the read's majority strand
             (strand-flip breakpoints); span = that segment's ref span
-      DUP — adjacent same-strand segments whose ref coordinates jump
-            BACKWARD (next.ref_start < prev.ref_end): a tandem pass over
-            the same reference span; len = prev.ref_end - next.ref_start
+      DUP — adjacent same-strand segments whose reference windows OVERLAP:
+            the read passes the same reference span twice (tandem copy);
+            len = overlap = min(ends) - max(starts).  The overlap test is
+            strand-symmetric: colinear splits (e.g. across a deletion) have
+            non-positive overlap in either orientation and never fire.
     """
     by_name: dict[str, list[int]] = {}
     for i, name in enumerate(cr.names):
@@ -196,13 +198,16 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
                     l_parts.append(span)
                     r_parts.append(anchor)
         for a, b in zip(rows[:-1], rows[1:]):
-            if cr.strand[a] == cr.strand[b] and cr.starts[b] < cr.ends[a]:
-                dup_len = int(cr.ends[a] - cr.starts[b])
-                if dup_len >= cfg.sig_min:
-                    t_parts.append(SVTYPE_DUP)
-                    p_parts.append(int(cr.starts[b]))
-                    l_parts.append(dup_len)
-                    r_parts.append(anchor)
+            if cr.strand[a] != cr.strand[b]:
+                continue
+            ov_lo = int(max(cr.starts[a], cr.starts[b]))
+            ov_hi = int(min(cr.ends[a], cr.ends[b]))
+            dup_len = ov_hi - ov_lo
+            if dup_len >= cfg.sig_min:
+                t_parts.append(SVTYPE_DUP)
+                p_parts.append(ov_lo)
+                l_parts.append(dup_len)
+                r_parts.append(anchor)
     return Signatures(
         np.array(t_parts, dtype=np.int8),
         np.array(p_parts, dtype=np.int64),
@@ -268,6 +273,20 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
         np.concatenate([cig.read_idx, spl.read_idx]),
     )
     calls: list[SvCall] = []
+    # DR pool, built once: PRIMARY alignments long enough to possibly span
+    # (length >= 2*span_buffer — shorter ones can never satisfy both ends).
+    # cr.starts is position-sorted; a sorted copy of ends gives O(log n)
+    # spanning counts per call: |start <= A| - |end < B| is exact for this
+    # pool because end < B implies start < B - 2*buf = A.
+    buf = cfg.span_buffer
+    pool = np.flatnonzero(
+        (cr.supp == 0) & (cr.mapq >= cfg.min_mapq)
+        & (cr.ends - cr.starts >= 2 * buf)
+    )
+    pool_starts = cr.starts[pool]
+    pool_ends_sorted = np.sort(cr.ends[pool])
+    prim_span = {cr.names[i]: (int(cr.starts[i]), int(cr.ends[i]))
+                 for i in pool}
     for svtype in (SVTYPE_INS, SVTYPE_DEL, SVTYPE_INV, SVTYPE_DUP):
         m = sigs.svtype == svtype
         clusters = _cluster_one_type(
@@ -281,15 +300,17 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
             support = len(names)
             if support < cfg.min_support:
                 continue
-            # DR: distinct READ NAMES spanning the locus without supporting
-            # the event (a split read's multiple segments count once)
-            spanning_rows = np.flatnonzero(
-                (cr.starts <= cp - cfg.span_buffer)
-                & (cr.ends >= cp + cfg.span_buffer)
-                & (cr.mapq >= cfg.min_mapq)
+            # DR: distinct read names whose PRIMARY alignment spans the
+            # locus and that do not support the event
+            A, B = cp - buf, cp + buf
+            spanning = int(np.searchsorted(pool_starts, A, "right")) \
+                - int(np.searchsorted(pool_ends_sorted, B, "left"))
+            support_spanning = sum(
+                1 for nm in names
+                if nm in prim_span
+                and prim_span[nm][0] <= A and prim_span[nm][1] >= B
             )
-            span_names = {cr.names[i] for i in spanning_rows}
-            dr = len(span_names - set(names))
+            dr = max(spanning - support_spanning, 0)
             dv = support
             af = dv / max(dv + dr, 1)
             calls.append(SvCall(

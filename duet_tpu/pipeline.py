@@ -136,8 +136,15 @@ def stage_snp_calling(cfg: PipelineConfig, st: PipelineState) -> None:
         get_logger().info("resume: loading %s", artifact)
         st.snps = read_pileup_vcf(artifact)
         return
-    ref_codes = {c: st.ref.fetch_codes(c)
-                 for c in _work_contigs(cfg, st.ref.contig_names)}
+    # key reference codes by the STORE's contig spelling so a chrN BAM
+    # against an N-named FASTA (or vice versa) still matches
+    work_fa = _work_contigs(cfg, st.ref.contig_names)
+    ref_codes = {}
+    for store_name in st.store.contigs:
+        for fa_name in work_fa:
+            if strip_chr(store_name) == strip_chr(fa_name):
+                ref_codes[store_name] = st.ref.fetch_codes(fa_name)
+                break
     st.snps, st.site_obs = call_snps_for_store(
         st.store, ref_codes, cfg.snp_cfg(), threads=cfg.threads)
     write_pileup_vcf(artifact, st.snps, st.store.contig_lengths)
