@@ -45,15 +45,20 @@ PC_MAX = 8100        # cap = the decision stage's evidence cut
 
 @dataclass
 class AlleleMatrix:
-    """Sparse COO (reads x het sites) allele observations for one contig."""
+    """Sparse COO (reads x het sites) allele observations for one contig.
+
+    A row is one READ (by name): split alignments pool their segments'
+    observations into a single row, so a read crossing an SV breakpoint
+    still bridges phase blocks and haplotags on its combined evidence."""
 
     n_reads: int
     n_sites: int
     site_pos: np.ndarray   # (m,) int64 0-based positions of het sites
-    row: np.ndarray        # (nnz,) int32 read index
+    row: np.ndarray        # (nnz,) int32 read (name-group) index
     col: np.ndarray        # (nnz,) int32 site index
     allele: np.ndarray     # (nnz,) int8 +1 alt / -1 ref
     weight: np.ndarray     # (nnz,) float32 base-quality weight
+    row_names: list | None = None  # (n_reads,) read names, index-aligned
 
 
 @dataclass
@@ -67,6 +72,7 @@ class PhaseResult:
     read_hap: np.ndarray    # (n_reads,) int8 1/2, 0 untagged
     read_ps: np.ndarray     # (n_reads,) int64 PS of assigned block, -1 untagged
     read_pc: np.ndarray     # (n_reads,) int32 phasing cost, -1 untagged
+    row_names: list | None = None  # read names, index-aligned with read_*
 
 
 def build_allele_matrix(cr: ContigReads, snps: ContigSnps,
@@ -83,14 +89,29 @@ def build_allele_matrix(cr: ContigReads, snps: ContigSnps,
     ref_c = snps.ref_code[het]
     alt_c = snps.alt_code[het]
     m = len(site_pos)
+
+    # rows are name groups: split alignments of one read share a row
+    gid_of: dict[str, int] = {}
+    gid = np.empty(cr.n, dtype=np.int32)
+    row_names: list[str] = []
+    for i, name in enumerate(cr.names):
+        g = gid_of.get(name)
+        if g is None:
+            g = gid_of[name] = len(row_names)
+            row_names.append(name)
+        gid[i] = g
+    n_rows = len(row_names)
+
     if m == 0 or cr.n == 0:
         z = np.zeros(0, dtype=np.int32)
-        return AlleleMatrix(cr.n, 0, site_pos, z, z,
-                            z.astype(np.int8), z.astype(np.float32))
+        return AlleleMatrix(n_rows, 0, site_pos, z, z,
+                            z.astype(np.int8), z.astype(np.float32),
+                            row_names=row_names)
 
     positions, bases, quals, read_idx = (
         obs if obs is not None else pileup_observations(cr, cfg)
     )
+    read_idx = gid[read_idx]
     j = np.searchsorted(site_pos, positions)
     j_ok = (j < m)
     j_clip = np.minimum(j, m - 1)
@@ -103,13 +124,14 @@ def build_allele_matrix(cr: ContigReads, snps: ContigSnps,
     is_ref = b == ref_c[j]
     informative = (is_alt | is_ref) & (q >= cfg.min_base_qual)
     return AlleleMatrix(
-        n_reads=cr.n,
+        n_reads=n_rows,
         n_sites=m,
         site_pos=site_pos,
         row=r[informative].astype(np.int32),
         col=j[informative].astype(np.int32),
         allele=np.where(is_alt[informative], 1, -1).astype(np.int8),
         weight=np.minimum(q[informative], 40).astype(np.float32),
+        row_names=row_names,
     )
 
 
@@ -134,7 +156,15 @@ def _adjacent_link_votes(am: AlleleMatrix):
 
 def _initial_phase(am: AlleleMatrix):
     """Chain phasing: phase[0]=+1 per block; each next site's phase flips when
-    trans evidence outweighs cis. Blocks break where no read links the pair."""
+    trans evidence outweighs cis.
+
+    Block boundaries come from interval-stabbing connectivity: sites j-1 and
+    j stay in one block when ANY read covers sites on both sides of the
+    boundary — adjacency is not required (a read may skip a site it covers
+    with a low-quality base).  Boundaries that are bridged but carry no
+    adjacent-pair vote start with unknown relative phase (+1); the
+    switch-error corrector then settles the orientation from the full
+    spanning evidence."""
     m = am.n_sites
     phase = np.zeros(m, dtype=np.int8)
     block_id = np.full(m, -1, dtype=np.int32)
@@ -144,8 +174,20 @@ def _initial_phase(am: AlleleMatrix):
     covered = np.zeros(m, dtype=bool)
     if len(am.col):
         covered[np.unique(am.col)] = True
+    # reads spanning the boundary between sites j-1 and j: first covered
+    # site <= j-1 and last covered site >= j
     new_block = np.ones(m, dtype=bool)
-    new_block[1:] = links == 0
+    if len(am.row):
+        first = np.full(am.n_reads, m, dtype=np.int64)
+        last = np.full(am.n_reads, -1, dtype=np.int64)
+        np.minimum.at(first, am.row, am.col)
+        np.maximum.at(last, am.row, am.col)
+        spans = last > first
+        diff = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(diff, first[spans], 1)
+        np.add.at(diff, last[spans], -1)
+        boundary_cov = np.cumsum(diff)[:m]
+        new_block[1:] = boundary_cov[:-1] == 0
     bid = np.cumsum(new_block) - 1
     # phase = running parity of rel within the block
     rel = np.ones(m, dtype=np.int8)
@@ -408,28 +450,22 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
     else:
         read_hap, read_ps, read_pc = _haplotag(am, phase, block_id, block_ps)
     return PhaseResult(am.site_pos, phase, block_id, block_ps,
-                       read_hap, read_ps, read_pc)
+                       read_hap, read_ps, read_pc, row_names=am.row_names)
 
 
 def read_hap_map(cr: ContigReads, result: PhaseResult) -> dict[str, tuple[int, int, int]]:
     """name -> (hap, ps, pc) join map, the decision stage's input (mirrors
-    reference read_hap_bam's dict, sv_phasing_fn.py:11-34).
-
-    Primary alignments win over supplementary segments of the same read;
-    a supplementary's tag is used only when the primary is untagged."""
+    reference read_hap_bam's dict, sv_phasing_fn.py:11-34).  Rows are
+    already name-grouped (split alignments pooled), so this is a direct
+    per-row emit."""
+    names = result.row_names if result.row_names is not None else cr.names
     out = {}
-    supp_only = {}
-    for i in range(cr.n):
-        if result.read_hap[i] == 0:
-            continue
-        tag = (int(result.read_hap[i]), int(result.read_ps[i]),
-               int(result.read_pc[i]))
-        if cr.supp[i]:
-            supp_only.setdefault(cr.names[i], tag)
-        else:
-            out[cr.names[i]] = tag
-    for name, tag in supp_only.items():
-        out.setdefault(name, tag)
+    for i in range(len(names)):
+        if result.read_hap[i] != 0:
+            out[names[i]] = (
+                int(result.read_hap[i]), int(result.read_ps[i]),
+                int(result.read_pc[i]),
+            )
     return out
 
 

@@ -195,10 +195,11 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
         _write_haplotag_table(
             os.path.join(out_dir, f"{contig}.haplotags.tsv"), st.read_haps[contig]
         )
+        n_reads = len(result.row_names) if result.row_names else cr.n
         get_logger().info(
             "[PHASING] %s: %d het sites, %d blocks, %d/%d reads tagged",
             contig, len(result.site_pos), len(result.block_ps),
-            int((result.read_hap != 0).sum()), cr.n,
+            int((result.read_hap != 0).sum()), n_reads,
         )
 
 

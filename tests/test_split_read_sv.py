@@ -60,8 +60,6 @@ def test_full_pipeline_with_inv_dup(invdup_demo, tmp_path):
     res = evaluate_files(out, f"{d}/truth.vcf")
     assert res.calling[0] >= 0.9,  f"calling precision {res.calling[0]}"
     assert res.calling[1] >= 0.7,  f"calling recall {res.calling[1]}"
-    # phasing recall is capped by calling recall (unmatched truth hets
-    # count as phasing misses), so the bar sits below the calling bar
-    assert res.phasing[2] >= 0.75, f"phasing f1 {res.phasing[2]}"
+    assert res.phasing[2] >= 0.85, f"phasing f1 {res.phasing[2]}"
     text = open(out).read()
     assert "SVTYPE=<INV>" in text and "SVTYPE=<DUP>" in text
