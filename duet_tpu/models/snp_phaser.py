@@ -442,9 +442,13 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
                  use_device: bool = False, obs=None) -> PhaseResult:
     am = build_allele_matrix(cr, snps, cfg, obs=obs)
     phase, block_id, block_ps = _initial_phase(am)
-    phase = _power_refine(am, phase, block_id, sweeps)
+    if use_device:
+        from duet_tpu.ops.sparse_power import power_refine_device as refine
+    else:
+        refine = _power_refine
+    phase = refine(am, phase, block_id, sweeps)
     phase = _switch_correct(am, phase, block_id)
-    phase = _power_refine(am, phase, block_id, sweeps)
+    phase = refine(am, phase, block_id, sweeps)
     if use_device:
         read_hap, read_ps, read_pc = _haplotag_device(am, phase, block_id, block_ps)
     else:

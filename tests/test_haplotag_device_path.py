@@ -40,3 +40,16 @@ def test_phase_contig_device_flag(sim_dataset):
     np.testing.assert_array_equal(dev.read_hap, host.read_hap)
     np.testing.assert_array_equal(dev.read_ps, host.read_ps)
     np.testing.assert_array_equal(dev.read_pc, host.read_pc)
+
+
+def test_sparse_power_refine_device_matches_host():
+    from duet_tpu.ops.sparse_power import power_refine_device
+
+    rng = np.random.default_rng(7)
+    from test_snp_phaser import diploid_matrix, matrix_from_dense
+    D, _ = diploid_matrix(rng, n_reads=200, n_sites=77, span=14, err=0.08)
+    am = matrix_from_dense(D)
+    phase0, block_id, _ = sp._initial_phase(am)
+    host = sp._power_refine(am, phase0.copy(), block_id, sweeps=3)
+    dev = power_refine_device(am, phase0.copy(), block_id, sweeps=3)
+    np.testing.assert_array_equal(dev, host)
