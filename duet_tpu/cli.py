@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host-kernel", action="store_true",
                    help="run the decision stage on host (float64) instead of "
                         "the device kernel")
+    p.add_argument("--haplotag-bam", action="store_true",
+                   help="also write per-contig haplotagged BAMs with "
+                        "HP/PC/PS tags (reference artifact parity)")
     p.add_argument("--profile", action="store_true",
                    help="capture a JAX profiler trace of the run into "
                         "OUTPUT/profile/ (view with TensorBoard or Perfetto)")
@@ -75,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         sv_caller=args.sv_caller,
         resume=args.resume,
         use_device_kernel=not args.host_kernel,
+        haplotag_bam=args.haplotag_bam,
     )
     import contextlib
 

@@ -63,6 +63,7 @@ class PipelineConfig:
     sv_caller: str = "cutesv"           # -b: cutesv|sniffles -> gap linkage, svim -> span
     resume: bool = False                # skip stages whose artifacts exist
     use_device_kernel: bool = True      # run the decision stage on device
+    haplotag_bam: bool = False          # also write per-contig HP/PC/PS BAMs
 
     def snp_cfg(self) -> SnpCallConfig:
         return SnpCallConfig(min_af=self.min_allele_frequency)
@@ -195,6 +196,11 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
         _write_haplotag_table(
             os.path.join(out_dir, f"{contig}.haplotags.tsv"), st.read_haps[contig]
         )
+        if cfg.haplotag_bam:
+            _write_haplotag_bam(
+                os.path.join(out_dir, f"{contig}.bam"), cr,
+                st.read_haps[contig], st.store.contig_lengths,
+            )
         n_reads = len(result.row_names) if result.row_names else cr.n
         get_logger().info(
             "[PHASING] %s: %d het sites, %d blocks, %d/%d reads tagged",
@@ -209,6 +215,40 @@ def _write_haplotag_table(path: str, haps: dict[str, tuple[int, int, int]]) -> N
     with open(path, "w") as f:
         for name, (hap, ps, pc) in haps.items():
             f.write(f"{name}\t{hap}\t{ps}\t{pc}\n")
+
+
+def _write_haplotag_bam(path: str, cr, haps: dict[str, tuple[int, int, int]],
+                        contig_lengths: dict[str, int]) -> None:
+    """Per-contig haplotagged BAM with HP/PC/PS tags — byte-level artifact
+    parity with the reference's WhatsHap haplotag output contract
+    (snp_phasing.py:27-29), for IGV/downstream consumers."""
+    import numpy as np
+
+    from duet_tpu.io.bam import BamHeader, BamRead, BamWriter, write_bai_stub
+
+    length = contig_lengths.get(cr.contig, 0)
+    header = BamHeader(
+        f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{cr.contig}\tLN:{length}\n",
+        [cr.contig], [length],
+    )
+    with BamWriter(path, header) as w:
+        for i in range(cr.n):
+            tags = {}
+            t = haps.get(cr.names[i])
+            if t is not None:
+                hap, ps, pc = t
+                tags = {"HP": hap, "PC": pc, "PS": ps}
+            flag = (0x10 if cr.strand[i] else 0) | (0x800 if cr.supp[i] else 0)
+            ops = cr.cigar_ops[cr.cigar_off[i]:cr.cigar_off[i + 1]]
+            lens = cr.cigar_lens[cr.cigar_off[i]:cr.cigar_off[i + 1]]
+            cigar = np.stack([ops.astype(np.int32), lens], axis=1) \
+                if len(ops) else np.zeros((0, 2), np.int32)
+            w.write(BamRead(
+                cr.names[i], flag, 0, int(cr.starts[i]), int(cr.mapq[i]),
+                cigar, cr.seq[cr.seq_off[i]:cr.seq_off[i + 1]],
+                cr.qual[cr.seq_off[i]:cr.seq_off[i + 1]], tags,
+            ))
+    write_bai_stub(path)
 
 
 def read_haplotag_table(path: str) -> dict[str, tuple[int, int, int]]:

@@ -75,3 +75,19 @@ def test_phase_only_from_haplotagged_bam(tmp_path, sim_dataset):
                             use_device_kernel=False)
     po_vcf = run_phase_only(cfg_po)
     assert _strip_header(po_vcf) == _strip_header(full_vcf)
+
+
+def test_haplotag_bam_output_roundtrips(tmp_path, sim_dataset):
+    """--haplotag-bam artifact carries the same tags as the tsv table and
+    feeds phase-only mode."""
+    out_dir, _, _ = sim_dataset
+    full = tmp_path / "full3"
+    cfg = PipelineConfig(bam=f"{out_dir}/reads.bam", reference=f"{out_dir}/ref.fa",
+                         output=str(full), use_device_kernel=False,
+                         haplotag_bam=True)
+    run_pipeline(cfg)
+    bam = full / "snp_phasing" / "chr21.bam"
+    assert bam.exists()
+    from_bam = read_hap_from_bam(str(bam))
+    from_tsv = read_haplotag_table(full / "snp_phasing" / "chr21.haplotags.tsv")
+    assert from_bam == from_tsv
