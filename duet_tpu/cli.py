@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host-kernel", action="store_true",
                    help="run the decision stage on host (float64) instead of "
                         "the device kernel")
+    p.add_argument("--phase-bnd", action="store_true",
+                   help="genotype and phase breakend (BND) junctions through "
+                        "the decision stage too (the reference filters them "
+                        "out with SVLEN<min_size)")
     p.add_argument("--haplotag-bam", action="store_true",
                    help="also write per-contig haplotagged BAMs with "
                         "HP/PC/PS tags (reference artifact parity)")
@@ -79,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         use_device_kernel=not args.host_kernel,
         haplotag_bam=args.haplotag_bam,
+        phase_bnd=args.phase_bnd,
     )
     import contextlib
 

@@ -77,10 +77,12 @@ def load_eval_vcf(path: str, all_ctgs: bool = False,
                         svlen = abs(int(float(v)))
                     except ValueError:
                         svlen = 0
-            if svtype not in ("INS", "DEL", "DUP", "INV"):
+            if svtype not in ("INS", "DEL", "DUP", "INV", "BND"):
                 # infer from ALT when INFO lacks SVTYPE
                 alt = cols[4]
-                if "<" in alt:
+                if "[" in alt or "]" in alt:
+                    svtype = "BND"
+                elif "<" in alt:
                     svtype = alt.strip("<>")
                 elif len(cols[3]) > len(alt):
                     svtype = "DEL"
@@ -88,7 +90,8 @@ def load_eval_vcf(path: str, all_ctgs: bool = False,
                 else:
                     svtype = "INS"
                     svlen = svlen or len(alt) - len(cols[3])
-            if svlen < 50:
+            # breakends carry no length; everything else honors the size cut
+            if svlen < 50 and svtype != "BND":
                 continue
             gt, ps = "1|1", "."
             if len(cols) >= 10:
@@ -200,7 +203,9 @@ def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
                 continue
             d = abs(int(pos_arr[cand]) - c.pos)
             t = truth[ti]
-            ratio = min(c.svlen, t.svlen) / max(c.svlen, t.svlen)
+            # breakends have no length: position-only matching
+            mx = max(c.svlen, t.svlen)
+            ratio = min(c.svlen, t.svlen) / mx if mx else 1.0
             if ratio >= pctsim and (best is None or d < best[0]):
                 best = (d, ti)
         if best is not None:

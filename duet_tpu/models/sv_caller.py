@@ -50,6 +50,7 @@ class SvCallConfig:
     linkage: str = "gap"           # 'gap' (cuteSV-like) | 'span' (SVIM-like)
     max_dist_ins: int = 100        # gap-linkage window for INS
     max_dist_del: int = 200        # gap-linkage window for DEL
+    max_dist_bnd: int = 200        # gap-linkage window for breakend pairs
     cluster_max_distance: float = 0.9  # span linkage threshold (reference -c)
     min_size: int = 50             # reference -s sv_min_size
     min_support: int = 2           # reference -r min_support_read
@@ -263,6 +264,39 @@ def _genotype(af: float, depth: int, cfg: SvCallConfig) -> str:
     return "1/1"
 
 
+def _spanning_pool(cr: ContigReads, cfg: SvCallConfig):
+    """DR pool, built once per contig: PRIMARY alignments long enough to
+    possibly span (length >= 2*span_buffer — shorter ones can never satisfy
+    both ends).  cr.starts is position-sorted; a sorted copy of ends gives
+    O(log n) spanning counts per call: |start <= A| - |end < B| is exact for
+    this pool because end < B implies start < B - 2*buf = A."""
+    buf = cfg.span_buffer
+    pool = np.flatnonzero(
+        (cr.supp == 0) & (cr.mapq >= cfg.min_mapq)
+        & (cr.ends - cr.starts >= 2 * buf)
+    )
+    pool_starts = cr.starts[pool]
+    pool_ends_sorted = np.sort(cr.ends[pool])
+    prim_span = {cr.names[i]: (int(cr.starts[i]), int(cr.ends[i]))
+                 for i in pool}
+    return pool_starts, pool_ends_sorted, prim_span
+
+
+def _spanning_dr(pool_starts, pool_ends_sorted, prim_span, names,
+                 pos: int, buf: int) -> int:
+    """Distinct spanning primaries at pos, excluding supporting reads whose
+    own primary spans (the same DR definition the indel path uses)."""
+    A, B = pos - buf, pos + buf
+    spanning = int(np.searchsorted(pool_starts, A, "right")) \
+        - int(np.searchsorted(pool_ends_sorted, B, "left"))
+    support_spanning = sum(
+        1 for nm in names
+        if nm in prim_span
+        and prim_span[nm][0] <= A and prim_span[nm][1] >= B
+    )
+    return max(spanning - support_spanning, 0)
+
+
 def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
     cig = extract_signatures(cr, cfg)
     spl = extract_split_signatures(cr, cfg)
@@ -273,20 +307,8 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
         np.concatenate([cig.read_idx, spl.read_idx]),
     )
     calls: list[SvCall] = []
-    # DR pool, built once: PRIMARY alignments long enough to possibly span
-    # (length >= 2*span_buffer — shorter ones can never satisfy both ends).
-    # cr.starts is position-sorted; a sorted copy of ends gives O(log n)
-    # spanning counts per call: |start <= A| - |end < B| is exact for this
-    # pool because end < B implies start < B - 2*buf = A.
     buf = cfg.span_buffer
-    pool = np.flatnonzero(
-        (cr.supp == 0) & (cr.mapq >= cfg.min_mapq)
-        & (cr.ends - cr.starts >= 2 * buf)
-    )
-    pool_starts = cr.starts[pool]
-    pool_ends_sorted = np.sort(cr.ends[pool])
-    prim_span = {cr.names[i]: (int(cr.starts[i]), int(cr.ends[i]))
-                 for i in pool}
+    pool_starts, pool_ends_sorted, prim_span = _spanning_pool(cr, cfg)
     for svtype in (SVTYPE_INS, SVTYPE_DEL, SVTYPE_INV, SVTYPE_DUP):
         m = sigs.svtype == svtype
         clusters = _cluster_one_type(
@@ -302,15 +324,8 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
                 continue
             # DR: distinct read names whose PRIMARY alignment spans the
             # locus and that do not support the event
-            A, B = cp - buf, cp + buf
-            spanning = int(np.searchsorted(pool_starts, A, "right")) \
-                - int(np.searchsorted(pool_ends_sorted, B, "left"))
-            support_spanning = sum(
-                1 for nm in names
-                if nm in prim_span
-                and prim_span[nm][0] <= A and prim_span[nm][1] >= B
-            )
-            dr = max(spanning - support_spanning, 0)
+            dr = _spanning_dr(pool_starts, pool_ends_sorted, prim_span,
+                              names, cp, buf)
             dv = support
             af = dv / max(dv + dr, 1)
             calls.append(SvCall(
@@ -327,8 +342,162 @@ def call_svs_for_store(store: ReadStore, cfg: SvCallConfig | None = None) -> dic
     return {contig: call_svs_for_contig(cr, cfg) for contig, cr in store.contigs.items()}
 
 
+# -----------------------------------------------------------------------------
+# Inter-contig breakends (BND) — the translocation family of the base callers
+# (cuteSV/Sniffles/SVIM all emit SVTYPE=BND mate pairs; the reference parser
+# passes them through, read_file.py:25-77, and its phasing stage drops them
+# via the SVLEN>=min_size filter, sv_phasing_fn.py:189).
+# -----------------------------------------------------------------------------
+
+
+@dataclass
+class BndCall:
+    """One junction as a mated breakend pair, canonically ordered so evidence
+    from reads traversing it in either direction merges.
+
+    side1/side2: 'L' = the retained segment lies LEFT of the breakpoint
+    (junction at its right edge), 'R' = retained segment lies RIGHT of it —
+    the four (side1, side2) combinations map 1:1 onto the four VCF breakend
+    ALT bracket forms."""
+
+    contig1: str
+    pos1: int        # 0-based
+    contig2: str
+    pos2: int        # 0-based
+    side1: str
+    side2: str
+    support: int
+    read_names: list[str]
+    gt: str
+    dr: int
+    dv: int
+
+
+@dataclass
+class BndEvidence:
+    """Per-contig split-alignment summary + DR pool: everything BND calling
+    needs after the contig's full read columns are released (streaming mode
+    keeps only this across the contig pass)."""
+
+    contig: str
+    # (name, fwd_qstart, ref_start, ref_end, strand) of split candidates
+    segs: list[tuple]
+    pool_starts: np.ndarray
+    pool_ends_sorted: np.ndarray
+    prim_span: dict[str, tuple[int, int]]
+
+
+def bnd_evidence_for_contig(cr: ContigReads, cfg: SvCallConfig) -> BndEvidence:
+    """Split-candidate alignments: rows whose clipped tail is large enough to
+    hold a partner segment (clip >= sig_min).  Cross-contig pairing happens
+    later over all contigs' summaries."""
+    fwd_qs, fwd_qe, L = _segment_table(cr, cfg)
+    clip = L - (fwd_qe - fwd_qs)
+    rows = np.flatnonzero((clip >= cfg.sig_min) & (cr.mapq >= cfg.min_mapq))
+    segs = [
+        (cr.names[i], int(fwd_qs[i]), int(cr.starts[i]), int(cr.ends[i]),
+         int(cr.strand[i]))
+        for i in rows
+    ]
+    pool_starts, pool_ends_sorted, prim_span = _spanning_pool(cr, cfg)
+    # only split-candidate names can support a BND; keep the map small
+    names = {s[0] for s in segs}
+    prim_span = {n: v for n, v in prim_span.items() if n in names}
+    return BndEvidence(cr.contig, segs, pool_starts, pool_ends_sorted, prim_span)
+
+
+def _bnd_signatures(evidence: dict[str, BndEvidence], cfg: SvCallConfig):
+    """Adjacent (in forward-query order) alignment segments of one read on
+    DIFFERENT contigs -> one breakend signature
+    (c1, p1, side1, c2, p2, side2, name), canonically ordered."""
+    by_name: dict[str, list[tuple]] = {}
+    for contig, ev in evidence.items():
+        for name, qs, rs, re_, strand in ev.segs:
+            by_name.setdefault(name, []).append((qs, contig, rs, re_, strand))
+    sigs = []
+    for name, segs in by_name.items():
+        if len({s[1] for s in segs}) < 2:
+            continue
+        segs.sort(key=lambda s: s[0])
+        for a, b in zip(segs[:-1], segs[1:]):
+            if a[1] == b[1]:
+                continue
+            # earlier segment: junction at ref end (+) / ref start (-)
+            p1, s1 = (a[3], "L") if a[4] == 0 else (a[2], "R")
+            # later segment: junction at ref start (+) / ref end (-)
+            p2, s2 = (b[2], "R") if b[4] == 0 else (b[3], "L")
+            c1, c2 = a[1], b[1]
+            if (c2, p2) < (c1, p1):
+                c1, p1, s1, c2, p2, s2 = c2, p2, s2, c1, p1, s1
+            sigs.append((c1, p1, s1, c2, p2, s2, name))
+    return sigs
+
+
+def _lower_median(vals: list[int]) -> int:
+    srt = sorted(vals)
+    return srt[(len(srt) - 1) // 2]
+
+
+def call_bnds(evidence: dict[str, BndEvidence],
+              cfg: SvCallConfig) -> list[BndCall]:
+    """Cluster breakend signatures per (contig pair, orientation) with gap
+    linkage on BOTH breakpoints; genotype against contig1's spanning pool."""
+    sigs = _bnd_signatures(evidence, cfg)
+    groups: dict[tuple, list[tuple]] = {}
+    for c1, p1, s1, c2, p2, s2, name in sigs:
+        groups.setdefault((c1, c2, s1, s2), []).append((p1, p2, name))
+    calls: list[BndCall] = []
+    for (c1, c2, s1, s2), members in groups.items():
+        members.sort(key=lambda m: (m[0], m[1]))
+        cluster: list[tuple] = []
+        clusters = []
+        for m in members:
+            if cluster and (m[0] - cluster[-1][0] > cfg.max_dist_bnd
+                            or abs(m[1] - cluster[-1][1]) > cfg.max_dist_bnd):
+                clusters.append(cluster)
+                cluster = []
+            cluster.append(m)
+        if cluster:
+            clusters.append(cluster)
+        ev1 = evidence[c1]
+        for cl in clusters:
+            names = sorted({m[2] for m in cl})
+            if len(names) < cfg.min_support:
+                continue
+            p1 = _lower_median([m[0] for m in cl])
+            p2 = _lower_median([m[1] for m in cl])
+            dv = len(names)
+            dr = _spanning_dr(ev1.pool_starts, ev1.pool_ends_sorted,
+                              ev1.prim_span, names, p1, cfg.span_buffer)
+            af = dv / max(dv + dr, 1)
+            calls.append(BndCall(
+                contig1=c1, pos1=p1, contig2=c2, pos2=p2, side1=s1, side2=s2,
+                support=dv, read_names=names,
+                gt=_genotype(af, dv + dr, cfg), dr=dr, dv=dv,
+            ))
+    calls.sort(key=lambda c: (c.contig1, c.pos1, c.contig2, c.pos2))
+    return calls
+
+
+def call_bnds_for_store(store: ReadStore,
+                        cfg: SvCallConfig | None = None) -> list[BndCall]:
+    cfg = cfg or SvCallConfig()
+    evidence = {c: bnd_evidence_for_contig(cr, cfg)
+                for c, cr in store.contigs.items()}
+    return call_bnds(evidence, cfg)
+
+
+def bnd_alt(side_this: str, side_mate: str, mate_contig: str,
+            mate_pos1: int) -> str:
+    """VCF breakend ALT bracket notation for one record of a mate pair."""
+    bracket = (f"[{mate_contig}:{mate_pos1}[" if side_mate == "R"
+               else f"]{mate_contig}:{mate_pos1}]")
+    return "N" + bracket if side_this == "L" else bracket + "N"
+
+
 def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
-                 contig_lengths: dict[str, int], family: str = "cutesv") -> None:
+                 contig_lengths: dict[str, int], family: str = "cutesv",
+                 bnds: list[BndCall] | None = None) -> None:
     """variants.vcf in the selected caller family's layout.
 
     All three layouts the reference parser handles (read_file.py:34-76) can
@@ -336,19 +505,35 @@ def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
       cutesv   SVLEN/SVTYPE/RE/RNAMES;      GT:DR:DV:PL:GQ  (>4-field path)
       sniffles SVLEN/SVTYPE/SUPPORT/RNAMES; GT:DR:DV        (no-comma path)
       svim     SVLEN/SVTYPE/SUPPORT/READS;  GT:DP:AD, AD='DR,DV' (comma path)
+
+    BND junctions are written as mated breakend record pairs (bracket ALTs,
+    CHR2/END/MATEID INFO) interleaved position-sorted with each contig's
+    intra-contig calls; no SVLEN field, so a reference-semantics parser
+    assigns 0 (read_file.py:34-35) and its phasing filter drops them.
     """
+    bnds = bnds or []
+    contig_order = list(calls)
+    for b in bnds:  # a junction partner may live on an otherwise call-free contig
+        for c in (b.contig1, b.contig2):
+            if c not in contig_order:
+                contig_order.append(c)
     header = [
         "##fileformat=VCFv4.2",
         f"##source=duet_tpu.sv_caller ({family} layout)",
     ] + [
-        f"##contig=<ID={c},length={contig_lengths.get(c, 0)}>" for c in calls
+        f"##contig=<ID={c},length={contig_lengths.get(c, 0)}>"
+        for c in contig_order
     ] + [
         '##ALT=<ID=INS,Description="Insertion">',
         '##ALT=<ID=DEL,Description="Deletion">',
         '##ALT=<ID=INV,Description="Inversion">',
         '##ALT=<ID=DUP,Description="Duplication">',
+        '##ALT=<ID=BND,Description="Breakend">',
         '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="SV length">',
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="SV type">',
+        '##INFO=<ID=CHR2,Number=1,Type=String,Description="Partner contig of a breakend">',
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="Partner position of a breakend">',
+        '##INFO=<ID=MATEID,Number=1,Type=String,Description="ID of the mate breakend record">',
         '##INFO=<ID=RE,Number=1,Type=Integer,Description="Supporting reads">',
         '##INFO=<ID=SUPPORT,Number=1,Type=Integer,Description="Supporting reads">',
         '##INFO=<ID=RNAMES,Number=.,Type=String,Description="Supporting read names">',
@@ -361,27 +546,49 @@ def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
         '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allele depths">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE",
     ]
-    records = []
+    def _fmt_sample(c, extra_info: str):
+        names = ",".join(c.read_names)
+        if family == "sniffles":
+            info = f"{extra_info}SUPPORT={c.support};RNAMES={names}"
+            fmt, sample = "GT:DR:DV", f"{c.gt}:{c.dr}:{c.dv}"
+        elif family == "svim":
+            info = f"{extra_info}SUPPORT={c.support};READS={names}"
+            fmt, sample = "GT:DP:AD", f"{c.gt}:{c.dr + c.dv}:{c.dr},{c.dv}"
+        else:
+            info = f"{extra_info}RE={c.support};RNAMES={names}"
+            fmt, sample = "GT:DR:DV:PL:GQ", f"{c.gt}:{c.dr}:{c.dv}:.,.,.:."
+        return info, fmt, sample
+
+    per_contig: dict[str, list[tuple[int, str]]] = {c: [] for c in contig_order}
     idx = 0
     for contig, contig_calls in calls.items():
         for c in contig_calls:
             svlen = -c.length if c.svtype == "DEL" else c.length
-            names = ",".join(c.read_names)
-            if family == "sniffles":
-                info = (f"SVLEN={svlen};SVTYPE={c.svtype};SUPPORT={c.support};"
-                        f"RNAMES={names}")
-                fmt, sample = "GT:DR:DV", f"{c.gt}:{c.dr}:{c.dv}"
-            elif family == "svim":
-                info = (f"SVLEN={svlen};SVTYPE={c.svtype};SUPPORT={c.support};"
-                        f"READS={names}")
-                fmt, sample = "GT:DP:AD", f"{c.gt}:{c.dr + c.dv}:{c.dr},{c.dv}"
-            else:
-                info = (f"SVLEN={svlen};SVTYPE={c.svtype};RE={c.support};"
-                        f"RNAMES={names}")
-                fmt, sample = "GT:DR:DV:PL:GQ", f"{c.gt}:{c.dr}:{c.dv}:.,.,.:."
-            records.append(
+            info, fmt, sample = _fmt_sample(
+                c, f"SVLEN={svlen};SVTYPE={c.svtype};")
+            per_contig[contig].append((c.pos, (
                 f"{contig}\t{c.pos + 1}\tduet_tpu.{c.svtype}.{idx}\tN\t"
                 f"<{c.svtype}>\t.\tPASS\t{info}\t{fmt}\t{sample}"
-            )
+            )))
             idx += 1
+    for k, b in enumerate(bnds):
+        ids = (f"duet_tpu.BND.{k}.1", f"duet_tpu.BND.{k}.2")
+        ends = ((b.contig1, b.pos1, b.side1), (b.contig2, b.pos2, b.side2))
+        for this, (mate_c, mate_p, mate_s), id_this, id_mate in (
+            (ends[0], ends[1], ids[0], ids[1]),
+            (ends[1], ends[0], ids[1], ids[0]),
+        ):
+            c_this, p_this, s_this = this
+            alt = bnd_alt(s_this, mate_s, mate_c, mate_p + 1)
+            info, fmt, sample = _fmt_sample(
+                b, f"SVTYPE=BND;CHR2={mate_c};END={mate_p + 1};"
+                   f"MATEID={id_mate};")
+            per_contig[c_this].append((p_this, (
+                f"{c_this}\t{p_this + 1}\t{id_this}\tN\t{alt}\t.\tPASS\t"
+                f"{info}\t{fmt}\t{sample}"
+            )))
+    records = []
+    for contig in contig_order:
+        for _, line in sorted(per_contig[contig], key=lambda t: t[0]):
+            records.append(line)
     write_vcf(path, header, records)

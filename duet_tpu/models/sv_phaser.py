@@ -285,16 +285,23 @@ def phase_chromosome(
     svlen_min: int,
     support_min: int,
     use_device: bool = False,
+    phase_bnd: bool = False,
 ) -> list[dict]:
     """Full phasing of one chromosome's callset; returns phased-call dicts
     (unsorted — the caller applies the global lexicographic sort).
 
     use_device routes the feature+decision pass through the jitted kernel
-    (duet_tpu.ops.phase_decide), bit-identical to the host path."""
+    (duet_tpu.ops.phase_decide), bit-identical to the host path.
+
+    phase_bnd=True exempts SVTYPE=BND records from the SVLEN filter so
+    breakends flow through the same evidence integration + decision tree —
+    a framework extension: the reference drops them there because missing
+    SVLEN parses as 0 (read_file.py:34-35, sv_phasing_fn.py:189)."""
     attach_read_haplotypes(records, read_hap)
     kept = [
         r for r in records
-        if abs(r.svlen) >= svlen_min and r.support >= support_min and r.gt != "./."
+        if (abs(r.svlen) >= svlen_min or (phase_bnd and r.svtype == "BND"))
+        and r.support >= support_min and r.gt != "./."
     ]
     if not kept:
         return []
@@ -340,6 +347,7 @@ def phase_callset(
     svlen_min: int,
     support_min: int,
     use_device: bool = False,
+    phase_bnd: bool = False,
 ) -> list[dict]:
     """Phase all chromosomes and apply the reference's final ordering:
     lexicographic on the chrom string, numeric on pos (sv_phasing_fn.py:229)."""
@@ -347,7 +355,8 @@ def phase_callset(
     for name, records in per_chrom_records.items():
         phased.extend(
             phase_chromosome(records, read_hap_by_chrom.get(name, {}),
-                             svlen_min, support_min, use_device=use_device)
+                             svlen_min, support_min, use_device=use_device,
+                             phase_bnd=phase_bnd)
         )
     phased.sort(key=lambda c: (c["chrom"], c["pos"]))
     return phased

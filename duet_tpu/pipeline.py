@@ -42,7 +42,12 @@ from duet_tpu.models.snp_phaser import (
     read_hap_map,
     write_phased_snp_vcf,
 )
-from duet_tpu.models.sv_caller import SvCallConfig, call_svs_for_store, write_sv_vcf
+from duet_tpu.models.sv_caller import (
+    SvCallConfig,
+    call_bnds_for_store,
+    call_svs_for_store,
+    write_sv_vcf,
+)
 from duet_tpu.utils.chrom import resolve_contig_names, strip_chr
 from duet_tpu.utils.logging import StageTimer, get_logger, setup_logging
 
@@ -64,6 +69,9 @@ class PipelineConfig:
     resume: bool = False                # skip stages whose artifacts exist
     use_device_kernel: bool = True      # run the decision stage on device
     haplotag_bam: bool = False          # also write per-contig HP/PC/PS BAMs
+    phase_bnd: bool = False             # genotype+phase breakends too (the
+                                        # reference drops them at the SVLEN
+                                        # filter, sv_phasing_fn.py:189)
 
     def snp_cfg(self) -> SnpCallConfig:
         return SnpCallConfig(min_af=self.min_allele_frequency)
@@ -160,10 +168,14 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
     if cfg.resume and os.path.exists(artifact):
         get_logger().info("resume: keeping %s", artifact)
         return
-    calls = call_svs_for_store(st.store, cfg.sv_cfg())
-    write_sv_vcf(artifact, calls, st.store.contig_lengths, family=cfg.sv_caller)
+    sv_cfg = cfg.sv_cfg()
+    calls = call_svs_for_store(st.store, sv_cfg)
+    bnds = call_bnds_for_store(st.store, sv_cfg)
+    write_sv_vcf(artifact, calls, st.store.contig_lengths,
+                 family=cfg.sv_caller, bnds=bnds)
     n = sum(len(v) for v in calls.values())
-    get_logger().info("clustered %d SV candidates", n)
+    get_logger().info("clustered %d SV candidates + %d breakend pairs",
+                      n, len(bnds))
 
 
 def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
@@ -284,7 +296,7 @@ def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
                 break
     phased = sv_phaser.phase_callset(
         per_chrom, read_haps, cfg.sv_min_size, cfg.min_support_read,
-        use_device=cfg.use_device_kernel,
+        use_device=cfg.use_device_kernel, phase_bnd=cfg.phase_bnd,
     )
     write_phased_sv_header(variants, artifact, cfg.include_all_ctgs)
     append_phased_sv_records(phased, artifact)
@@ -324,7 +336,11 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     import time
 
     from duet_tpu.io.readstore import stream_contig_reads
-    from duet_tpu.models.sv_caller import call_svs_for_contig
+    from duet_tpu.models.sv_caller import (
+        bnd_evidence_for_contig,
+        call_bnds,
+        call_svs_for_contig,
+    )
 
     check_envs(cfg)
     os.makedirs(cfg.output, exist_ok=True)
@@ -350,6 +366,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
 
     snps_all: dict[str, ContigSnps] = {}
     calls_all: dict[str, list] = {}
+    bnd_evidence: dict = {}
     lengths: dict[str, int] = {}
     n_reads = 0
     with StageTimer("STREAMING CONTIG PASS"):
@@ -375,6 +392,8 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             del obs
             snps_all[cr.contig] = snps
             calls_all[cr.contig] = call_svs_for_contig(cr, cfg.sv_cfg())
+            # cross-contig breakend evidence survives the contig's release
+            bnd_evidence[cr.contig] = bnd_evidence_for_contig(cr, cfg.sv_cfg())
             result = phase_contig(cr, snps, cfg.snp_cfg(),
                                   use_device=cfg.use_device_kernel,
                                   obs=site_obs)
@@ -393,7 +412,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             st.ref.drop_cache(fa_name)
     write_pileup_vcf(os.path.join(snp_dir, "pileup.vcf.gz"), snps_all, lengths)
     write_sv_vcf(os.path.join(sv_dir, "variants.vcf"), calls_all, lengths,
-                 family=cfg.sv_caller)
+                 family=cfg.sv_caller, bnds=call_bnds(bnd_evidence, cfg.sv_cfg()))
     st.snps = snps_all
     with StageTimer("SV PHASING"):
         stage_sv_phasing(cfg, st)

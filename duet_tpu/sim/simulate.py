@@ -35,6 +35,7 @@ class SimConfig:
     hom_sv_fraction: float = 0.25
     inv_fraction: float = 0.0   # share of SV events that are inversions
     dup_fraction: float = 0.0   # share that are tandem duplications
+    tra_count: int = 0          # inter-contig translocation junctions (needs >=2 contigs)
     sub_error: float = 0.02
     indel_error: float = 0.01  # small 1-3bp sequencing indels
     qual_mean: int = 22
@@ -53,6 +54,10 @@ class SimTruth:
     sv_kind: dict[str, np.ndarray]       # 0 INS, 1 DEL, 2 INV, 3 DUP
     sv_ins_seq: dict[str, list]          # inserted sequences (codes) or None
     read_hap: dict[str, int]             # read name -> haplotype (0/1)
+    # inter-contig translocation junctions:
+    # (contig_a, pos_a, contig_b, pos_b, gt (2,)) — reads on contig_a crossing
+    # pos_a on a carrying haplotype continue on contig_b at pos_b
+    tra: list = field(default_factory=list)
 
 
 def _rand_codes(rng: np.random.Generator, n: int) -> np.ndarray:
@@ -117,18 +122,29 @@ def _apply_sub_errors(rng, codes, cfg):
 
 def _simulate_read(rng, ref_codes, start, target_span, hap,
                    snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, sv_kind,
-                   ins_seq, cfg):
+                   ins_seq, cfg, tra_events=None, all_codes=None,
+                   all_snps=None):
     """Walk the reference from `start`, emitting the haplotype's bases with
     sequencing errors.  Returns a list of alignment segments
-    [(ref_start, strand, codes, quals, cigar)] in read order — one segment
-    for plain reads, several when the read crosses a carried INV or DUP
+    [(contig, ref_start, strand, codes, quals, cigar)] in read order —
+    contig is None for the home contig; one segment for plain reads, several
+    when the read crosses a carried INV, DUP, or translocation junction
     (the simulator plays aligner and splits exactly at the breakpoints).
     Segment codes/quals are in the STORED (reference-forward) orientation;
-    a minus-strand segment's read content is the reverse complement."""
-    segments = []  # (ref_start, strand, seq_parts, cig)
+    a minus-strand segment's read content is the reverse complement.
+
+    tra_events: position-sorted [(pos_a, contig_b, pos_b, gt (2,))] junctions
+    on this contig; a carrying read crossing pos_a continues on contig_b at
+    pos_b.  all_codes[contig] -> reference codes; all_snps[contig] ->
+    (snp_pos, snp_gt, snp_alt): the derivative chromosome fuses haplotype
+    `hap` of both contigs, so the partner segment carries contig_b's hap
+    alleles — keeping its SNP evidence phase-consistent."""
+    segments = []  # (contig_or_None, ref_start, strand, seq_parts, cig)
     seq: list = []
     cig: list[list[int]] = []  # [op, len]; op: 0=M 1=I 2=D
     seg_ref_start = start
+    tra_events = tra_events or []
+    tra_pos = np.array([t[0] for t in tra_events], dtype=np.int64)
 
     def add(op, ln):
         if ln <= 0:
@@ -141,17 +157,42 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
     def close_segment():
         nonlocal seq, cig
         if seq:
-            segments.append((seg_ref_start, 0, seq, cig))
+            segments.append((None, seg_ref_start, 0, seq, cig))
         seq, cig = [], []
 
     sv_idx = np.searchsorted(sv_pos, start)
     snp_idx = np.searchsorted(snp_pos, start)
+    tra_idx = int(np.searchsorted(tra_pos, start))
     pos = start
     end_target = min(start + target_span, len(ref_codes))
     while pos < end_target:
+        # translocation junction: carried reads jump to the partner contig
+        if tra_idx < len(tra_pos) and pos >= tra_pos[tra_idx]:
+            _, dest_contig, dest_pos, tgt = tra_events[tra_idx]
+            tra_idx += 1
+            if tgt[hap]:
+                close_segment()
+                dest_codes = all_codes[dest_contig]
+                v = min(end_target - pos, len(dest_codes) - dest_pos)
+                if v >= 30:
+                    dest = dest_codes[dest_pos:dest_pos + v].copy()
+                    if all_snps and dest_contig in all_snps:
+                        dpos, dgt, dalt = all_snps[dest_contig]
+                        lo = np.searchsorted(dpos, dest_pos)
+                        hi = np.searchsorted(dpos, dest_pos + v)
+                        for s in range(lo, hi):
+                            if dgt[s, hap]:
+                                dest[dpos[s] - dest_pos] = dalt[s]
+                    segments.append((
+                        dest_contig, dest_pos, 0, [dest],
+                        [[0, int(v)]],
+                    ))
+                break  # the read ends on the partner contig
+            continue
         next_sv = sv_pos[sv_idx] if sv_idx < len(sv_pos) else end_target
         next_snp = snp_pos[snp_idx] if snp_idx < len(snp_pos) else end_target
-        nxt = min(next_sv, next_snp, end_target)
+        next_tra = tra_pos[tra_idx] if tra_idx < len(tra_pos) else end_target
+        nxt = min(next_sv, next_snp, next_tra, end_target)
         if nxt > pos:
             seq.append(ref_codes[pos:nxt].copy())
             add(0, nxt - pos)
@@ -178,7 +219,7 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
                 if v >= 30:
                     close_segment()
                     inv_codes = ref_codes[b - v:b].copy()
-                    segments.append((b - v, 1, [inv_codes], [[0, int(v)]]))
+                    segments.append((None, b - v, 1, [inv_codes], [[0, int(v)]]))
                     if v == ln and end_target > b:
                         seg_ref_start = b
                     pos = b if v == ln else end_target
@@ -200,7 +241,8 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
                     v2 = min(end_target - b, ln)
                     if v2 >= 30:
                         close_segment()
-                        segments.append((a, 0, [ref_codes[a:a + v2].copy()],
+                        segments.append((None, a, 0,
+                                         [ref_codes[a:a + v2].copy()],
                                          [[0, int(v2)]]))
                         if v2 == ln:
                             seg_ref_start = b
@@ -224,7 +266,7 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
 
     out = []
     single = len(segments) == 1
-    for ref_start, strand, seq_parts, seg_cig in segments:
+    for seg_contig, ref_start, strand, seq_parts, seg_cig in segments:
         codes = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8)
         codes = _apply_sub_errors(rng, codes, cfg)
         quals = np.clip(rng.normal(cfg.qual_mean, 4, size=len(codes)),
@@ -247,7 +289,7 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
                 codes = np.concatenate([codes[:cut], codes[cut + k:]])
                 quals = np.concatenate([quals[:cut], quals[cut + k:]])
                 seg_cig = [[0, cut], [2, k], [0, first[1] - cut - k]] + rest
-        out.append((ref_start, strand, codes, quals, seg_cig))
+        out.append((seg_contig, ref_start, strand, codes, quals, seg_cig))
     return out
 
 
@@ -283,6 +325,19 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
         truth.sv_kind[name] = sv_kind
         truth.sv_ins_seq[name] = ins_seq
 
+    # inter-contig translocation junctions: contig pairs, positions clear of
+    # the coarse SV grid; genotype like other SVs (hom_sv_fraction, else het)
+    contig_names = list(cfg.contigs)
+    if cfg.tra_count and len(contig_names) >= 2:
+        for _ in range(cfg.tra_count):
+            ia, ib = rng.choice(len(contig_names), size=2, replace=False)
+            ca, cb = contig_names[ia], contig_names[ib]
+            pa = int(rng.integers(cfg.contigs[ca] // 4, cfg.contigs[ca] * 3 // 4))
+            pb = int(rng.integers(cfg.contigs[cb] // 4, cfg.contigs[cb] * 3 // 4))
+            gt = np.ones(2, np.int8) if rng.random() < cfg.hom_sv_fraction \
+                else np.eye(2, dtype=np.int8)[rng.integers(0, 2)]
+            truth.tra.append((ca, pa, cb, pb, gt))
+
     ref_path = os.path.join(out_dir, "ref.fa")
     write_fasta(ref_path, contig_seqs)
 
@@ -293,10 +348,16 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
     bam_path = os.path.join(out_dir, "reads.bam")
     read_counter = 0
     all_records = []
+    contig_index = {n: i for i, n in enumerate(cfg.contigs)}
+    all_snps = {n: (v[0], v[1], v[2]) for n, v in variants.items()}
     for ref_id, (name, length) in enumerate(cfg.contigs.items()):
         (snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, sv_kind,
          ins_seq) = variants[name]
         codes = contig_codes[name]
+        tra_here = sorted(
+            [(pa, cb, pb, gt) for ca, pa, cb, pb, gt in truth.tra if ca == name],
+            key=lambda t: t[0],
+        )
         n_reads = int(cfg.coverage * length / cfg.read_len_mean)
         starts = np.sort(rng.integers(0, max(1, length - 200), size=n_reads))
         spans = (cfg.read_len_mean
@@ -307,20 +368,21 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
             segments = _simulate_read(
                 rng, codes, int(starts[i]), int(spans[i]), int(haps[i]),
                 snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, sv_kind,
-                ins_seq, cfg,
+                ins_seq, cfg, tra_events=tra_here, all_codes=contig_codes,
+                all_snps=all_snps,
             )
-            total = sum(len(s[2]) for s in segments)
+            total = sum(len(s[3]) for s in segments)
             if total < 200 or not segments:
                 continue
             rname = f"read_{read_counter}"
             read_counter += 1
             truth.read_hap[rname] = int(haps[i])
-            primary = max(range(len(segments)), key=lambda k: len(segments[k][2]))
+            primary = max(range(len(segments)), key=lambda k: len(segments[k][3]))
             # forward-read query offsets per segment (read order)
-            q_off = np.cumsum([0] + [len(s[2]) for s in segments])
+            q_off = np.cumsum([0] + [len(s[3]) for s in segments])
             L = int(q_off[-1])
-            for k, (ref_start, strand, seg_codes, seg_quals, seg_cig) in \
-                    enumerate(segments):
+            for k, (seg_contig, ref_start, strand, seg_codes, seg_quals,
+                    seg_cig) in enumerate(segments):
                 qs, qe = int(q_off[k]), int(q_off[k + 1])
                 # stored-orientation hard clips: a minus-strand record's
                 # stored sequence is reference-forward, i.e. the read's
@@ -334,8 +396,10 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
                 if trail:
                     cig_full.append([5, trail])
                 flag = (0x10 if strand else 0) | (0 if k == primary else 0x800)
-                all_records.append((ref_id, int(ref_start), BamRead(
-                    rname, flag, ref_id, int(ref_start), 60,
+                seg_rid = ref_id if seg_contig is None \
+                    else contig_index[seg_contig]
+                all_records.append((seg_rid, int(ref_start), BamRead(
+                    rname, flag, seg_rid, int(ref_start), 60,
                     np.array(cig_full, dtype=np.int32),
                     seg_codes, seg_quals, {},
                 )))
@@ -373,4 +437,17 @@ def _write_truth_vcf(path: str, cfg: SimConfig, truth: SimTruth) -> None:
                 f"{name}\t{p + 1}\ttruth.{name}.{i}\tN\t<{svtype}>\t.\tPASS\t"
                 f"SVLEN={l};SVTYPE={svtype}\tGT:PS\t{gts}:1"
             )
+    # translocation junctions: a mated breakend record per side
+    for i, (ca, pa, cb, pb, gt) in enumerate(truth.tra):
+        gts = f"{gt[0]}|{gt[1]}"
+        records.append(
+            f"{ca}\t{pa + 1}\ttruth.BND.{i}.1\tN\tN[{cb}:{pb + 1}[\t.\tPASS\t"
+            f"SVTYPE=BND;CHR2={cb};END={pb + 1};MATEID=truth.BND.{i}.2\t"
+            f"GT:PS\t{gts}:1"
+        )
+        records.append(
+            f"{cb}\t{pb + 1}\ttruth.BND.{i}.2\tN\t]{ca}:{pa + 1}]N\t.\tPASS\t"
+            f"SVTYPE=BND;CHR2={ca};END={pa + 1};MATEID=truth.BND.{i}.1\t"
+            f"GT:PS\t{gts}:1"
+        )
     write_vcf(path, header, records)
