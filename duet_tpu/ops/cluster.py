@@ -106,36 +106,27 @@ def pad_signatures(pos, length, read_idx, pad_to: int):
     return pp, ll, rr, k
 
 
-@partial(jax.jit, static_argnames=("linkage",))
-def cluster_device(pos, length, read_idx, n_valid, linkage: int,
-                   max_dist, cmd_num, cmd_den):
-    """Jitted clustering over padded signature arrays.
-
-    Returns per-signature-slot segment stats scattered to each segment's
-    first slot: (call_pos, call_len, support, count, is_seg_start, seg_id).
-    Slots beyond the real segments have is_seg_start False.
-    """
-    k = pos.shape[0]
-    idx = jnp.arange(k)
-    valid = idx < n_valid
-    order = jnp.argsort(jnp.where(valid, pos, _POS_PAD), stable=True)
-    p = pos[order]
-    l = length[order]
-    r = read_idx[order]
-    v = valid[order]
-
-    dpos = p[1:] - p[:-1]
+def _break_flags(p_prev, l_prev, v_prev, p_next, l_next, v_next,
+                 linkage: int, max_dist, cmd_num, cmd_den):
+    """Elementwise linkage test between consecutive sorted signatures; the
+    one formulation every path (device, sharded, host transcription) shares."""
+    dpos = p_next - p_prev
     if linkage == SPAN:
-        dlen = jnp.abs(l[1:] - l[:-1])
-        denom = jnp.maximum(jnp.maximum(l[1:], l[:-1]), 1)
+        dlen = jnp.abs(l_next - l_prev)
+        denom = jnp.maximum(jnp.maximum(l_next, l_prev), 1)
         brk = (jnp.abs(dpos) + dlen).astype(jnp.float32) * jnp.float32(cmd_den) \
             > denom.astype(jnp.float32) * jnp.float32(cmd_num)
     else:
         brk = dpos > max_dist
     # padding slots break away from real segments
-    brk = brk | (v[1:] != v[:-1])
-    seg = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(brk, dtype=jnp.int32)])
+    return brk | (v_next != v_prev)
 
+
+def _segment_stats(p, l, r, v, seg):
+    """Per-cluster statistics from globally sorted signatures + segment ids:
+    the segment-reduction core shared by the single-device and mesh-sharded
+    paths (identical ops -> identical results)."""
+    k = p.shape[0]
     ones = v.astype(jnp.int32)
     count = jax.ops.segment_sum(ones, seg, num_segments=k)
     start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
@@ -163,8 +154,34 @@ def cluster_device(pos, length, read_idx, n_valid, linkage: int,
         "count": count,
         "is_seg": is_real_seg,
         "seg_of_sorted": seg,
-        "order": order,
     }
+
+
+@partial(jax.jit, static_argnames=("linkage",))
+def cluster_device(pos, length, read_idx, n_valid, linkage: int,
+                   max_dist, cmd_num, cmd_den):
+    """Jitted clustering over padded signature arrays.
+
+    Returns per-signature-slot segment stats scattered to each segment's
+    first slot: (call_pos, call_len, support, count, is_seg_start, seg_id).
+    Slots beyond the real segments have is_seg_start False.
+    """
+    k = pos.shape[0]
+    idx = jnp.arange(k)
+    valid = idx < n_valid
+    order = jnp.argsort(jnp.where(valid, pos, _POS_PAD), stable=True)
+    p = pos[order]
+    l = length[order]
+    r = read_idx[order]
+    v = valid[order]
+
+    brk = _break_flags(p[:-1], l[:-1], v[:-1], p[1:], l[1:], v[1:],
+                       linkage, max_dist, cmd_num, cmd_den)
+    seg = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(brk, dtype=jnp.int32)])
+    out = _segment_stats(p, l, r, v, seg)
+    out["order"] = order
+    return out
 
 
 def cluster_device_to_host(pos, length, read_idx, linkage: int, max_dist: int,
