@@ -61,17 +61,35 @@ def main() -> int:
 
     # --- device timing -----------------------------------------------------
     import jax
+    import jax.numpy as jnp
 
     from duet_tpu.ops.haplotag import phase_and_tag
 
     dev_args = [jax.device_put(a) for a in batch]
-    out = phase_and_tag(*dev_args, sweeps=2)  # compile + warmup
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = phase_and_tag(*dev_args, sweeps=2)
-    jax.block_until_ready(out)
-    dev_s = (time.perf_counter() - t0) / iters
+
+    def time_dev(fn):
+        out = fn()  # compile + warmup
+        jax.block_until_ready(jax.tree.leaves(out))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(jax.tree.leaves(out))
+        return (time.perf_counter() - t0) / iters
+
+    dev_s = time_dev(lambda: phase_and_tag(*dev_args, sweeps=2))
+    # fully fused Pallas path (single-pass HBM traffic); keep whichever
+    # implementation is faster in this environment
+    try:
+        from duet_tpu.ops.pallas_haplotag import phase_and_tag_fused
+
+        alleles, weights, phase0, onehot = dev_args
+        w16 = jax.device_put(np.asarray(batch[1], np.float32).astype(jnp.bfloat16))
+        fused_s = time_dev(
+            lambda: phase_and_tag_fused(alleles, w16, phase0, onehot, sweeps=2)
+        )
+        dev_s = min(dev_s, fused_s)
+    except Exception as e:  # pallas unavailable on this backend: keep jnp path
+        print(f"# fused pallas path skipped: {e}", file=sys.stderr)
     reads_per_s = R / dev_s
 
     # --- host baseline (fewer iters; it is much slower) --------------------

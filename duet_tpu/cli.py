@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="capture a JAX profiler trace of the run into "
                         "OUTPUT/profile/ (view with TensorBoard or Perfetto)")
+    mh = p.add_argument_group(
+        "multi-host", "run one process per host against a shared OUTPUT dir: "
+        "contigs are round-robin owned, stage outputs exchanged as part "
+        "files, process 0 writes the final artifacts")
+    mh.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator address (process 0's)")
+    mh.add_argument("--num-processes", type=int, default=None)
+    mh.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -84,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
         use_device_kernel=not args.host_kernel,
         haplotag_bam=args.haplotag_bam,
         phase_bnd=args.phase_bnd,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
     )
     import contextlib
 

@@ -106,14 +106,23 @@ def _keep(read, min_mapq: int) -> bool:
             and read.mapq >= min_mapq and read.ref_id >= 0)
 
 
-def load_read_store(bam_path: str, min_mapq: int = 0) -> ReadStore:
+def load_read_store(bam_path: str, min_mapq: int = 0,
+                    only_contigs: set[str] | None = None) -> ReadStore:
     """Single-pass BAM decode -> per-contig packed arrays (primary +
-    supplementary mapped alignments; secondary dropped)."""
+    supplementary mapped alignments; secondary dropped).
+
+    only_contigs restricts decoding to the named contigs (multi-process
+    contig ownership: each host holds just its shard's reads)."""
     per: dict[str, list] = {}
     with BamReader(bam_path) as r:
         ref_names = r.header.ref_names
         contig_lengths = dict(zip(ref_names, r.header.ref_lengths))
+        wanted = None if only_contigs is None else {
+            i for i, n in enumerate(ref_names) if n in only_contigs
+        }
         for read in r:
+            if wanted is not None and read.ref_id not in wanted:
+                continue
             if _keep(read, min_mapq):
                 per.setdefault(ref_names[read.ref_id], []).append(read)
     contigs = {c: pack_contig(c, reads) for c, reads in per.items()}

@@ -53,8 +53,12 @@ def _kernel(n_blocks: int, aw_ref, abs_ref, rhs_ref, out_ref):
     pc = jnp.clip(jnp.rint(PC_PER_MARGIN * jnp.abs(signed)), 1, PC_MAX)
     pc = jnp.where(tagged, pc.astype(jnp.int32), -1)
     col = jax.lax.broadcasted_iota(jnp.int32, blockw.shape, 1)
-    best = jnp.argmax(
-        jnp.where(col < n_blocks, blockw, -jnp.inf), axis=1
+    masked = jnp.where(col < n_blocks, blockw, -jnp.inf)
+    # first-max-wins, explicitly: Mosaic's argmax breaks ties by LAST index
+    # while XLA takes the first — reduce tied columns with an integer min
+    is_max = masked == jnp.max(masked, axis=1, keepdims=True)
+    best = jnp.min(
+        jnp.where(is_max, col, jnp.int32(2**30)), axis=1
     ).astype(jnp.int32)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (aw.shape[0], LANES), 1)
@@ -62,6 +66,138 @@ def _kernel(n_blocks: int, aw_ref, abs_ref, rhs_ref, out_ref):
                        jnp.where(lane == 1, pc[:, None],
                                  jnp.where(lane == 2, best[:, None], 0)))
     out_ref[:] = packed
+
+
+def _sweep_kernel(alleles_ref, weights_ref, phase_ref, votes_ref):
+    """One power-iteration sweep, one pass over HBM: the quality-weighted
+    allele tile is built in VMEM from the int8/bf16 inputs (never stored to
+    HBM), used for BOTH matvecs while resident, and only the (1, S) site
+    votes leave — accumulated across the sequential read-tile grid."""
+    aw = alleles_ref[:].astype(jnp.bfloat16) * weights_ref[:]
+    ph = phase_ref[:]  # (1, S) bf16
+    # K=1 matvecs as exact elementwise products + f32 reductions (every
+    # product is +/-weight, integer-valued and exact in bf16; Mosaic also
+    # rejects 1-wide mixed-precision dots)
+    signed = jnp.sum((aw * ph).astype(jnp.float32), axis=1, keepdims=True)
+    h = jnp.sign(signed).astype(jnp.bfloat16)  # (TILE_R, 1)
+    votes = jnp.sum((h * aw).astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        votes_ref[:] = jnp.zeros_like(votes_ref)
+
+    votes_ref[:] += votes
+
+
+def _score_kernel(n_blocks: int, alleles_ref, weights_ref, rhs_ref, out_ref):
+    """Final scoring with the aw build fused in (epilogue of _kernel)."""
+    aw = alleles_ref[:].astype(jnp.bfloat16) * weights_ref[:]
+    rhs = rhs_ref[:]
+    signed_cols = jax.lax.dot_general(
+        aw, rhs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    abs_cols = jax.lax.dot_general(
+        jnp.abs(aw), rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    signed = signed_cols[:, 0]
+    total = abs_cols[:, 1]
+    blockw = abs_cols[:, 2:]
+
+    tagged = (total > 0) & (signed != 0)
+    hap = jnp.where(tagged, jnp.where(signed > 0, 1, 2), 0).astype(jnp.int32)
+    pc = jnp.clip(jnp.rint(PC_PER_MARGIN * jnp.abs(signed)), 1, PC_MAX)
+    pc = jnp.where(tagged, pc.astype(jnp.int32), -1)
+    col = jax.lax.broadcasted_iota(jnp.int32, blockw.shape, 1)
+    masked = jnp.where(col < n_blocks, blockw, -jnp.inf)
+    # first-max-wins, explicitly: Mosaic's argmax breaks ties by LAST index
+    # while XLA takes the first — reduce tied columns with an integer min
+    is_max = masked == jnp.max(masked, axis=1, keepdims=True)
+    best = jnp.min(
+        jnp.where(is_max, col, jnp.int32(2**30)), axis=1
+    ).astype(jnp.int32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (aw.shape[0], LANES), 1)
+    out_ref[:] = jnp.where(lane == 0, hap[:, None],
+                           jnp.where(lane == 1, pc[:, None],
+                                     jnp.where(lane == 2, best[:, None], 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def phase_and_tag_fused(alleles, weights16, phase0, block_onehot,
+                        sweeps: int = 2, interpret: bool = False):
+    """Fully fused phasing power iteration + haplotag scoring.
+
+    Drop-in equivalent of ops.haplotag.phase_and_tag, but every pass streams
+    the int8 alleles + BF16 weights from HBM and builds the weighted matrix
+    in VMEM — aw/|aw| never materialize in HBM, roughly halving the traffic
+    of the XLA-fused path on this bandwidth-bound op.
+
+    weights16 must be bfloat16 (quality weights <= 40 are exact in bf16);
+    callers materialize it once per window.  Returns the same dict as
+    phase_and_tag.
+    """
+    if weights16.dtype != jnp.bfloat16:
+        raise TypeError("weights16 must be bfloat16")
+    R, S = alleles.shape
+    B = block_onehot.shape[1]
+    R_pad = ((R + TILE_R - 1) // TILE_R) * TILE_R
+    S_pad = ((S + LANES - 1) // LANES) * LANES
+    if (R_pad, S_pad) != (R, S):
+        pad = ((0, R_pad - R), (0, S_pad - S))
+        alleles = jnp.pad(alleles, pad)
+        weights16 = jnp.pad(weights16, pad)
+        phase0 = jnp.pad(phase0, (0, S_pad - S))
+        block_onehot = jnp.pad(block_onehot, ((0, S_pad - S), (0, 0)))
+
+    covered = phase0 != 0
+    grid = (R_pad // TILE_R,)
+    sweep_call = pl.pallas_call(
+        _sweep_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_R, S_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, S_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, S_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+    def sweep(phase, _):
+        votes = sweep_call(alleles, weights16, phase[None, :])[0]
+        new_phase = jnp.where(votes > 0, 1.0, jnp.where(votes < 0, -1.0, phase))
+        return jnp.where(covered, new_phase, 0.0).astype(jnp.bfloat16), None
+
+    phase, _ = jax.lax.scan(sweep, phase0.astype(jnp.bfloat16), None,
+                            length=sweeps)
+
+    K_pad = ((2 + B + LANES - 1) // LANES) * LANES
+    informative = (phase != 0).astype(jnp.bfloat16)
+    rhs = jnp.zeros((S_pad, K_pad), jnp.bfloat16)
+    rhs = rhs.at[:, 0].set(phase)
+    rhs = rhs.at[:, 1].set(informative)
+    rhs = rhs.at[:, 2:2 + B].set(block_onehot.astype(jnp.bfloat16))
+    packed = pl.pallas_call(
+        functools.partial(_score_kernel, B),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_R, S_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, S_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_pad, K_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, LANES), jnp.int32),
+        interpret=interpret,
+    )(alleles, weights16, rhs)
+    return {
+        "hap": packed[:R, 0], "pc": packed[:R, 1],
+        "best_block": packed[:R, 2],
+        "phase": jnp.sign(phase[:S]).astype(jnp.int8),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

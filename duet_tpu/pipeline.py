@@ -72,6 +72,14 @@ class PipelineConfig:
     phase_bnd: bool = False             # genotype+phase breakends too (the
                                         # reference drops them at the SVLEN
                                         # filter, sv_phasing_fn.py:189)
+    # multi-process (multi-host) run: contigs are round-robin owned per
+    # process, stage outputs exchanged as part-files on the shared
+    # filesystem, process 0 is the single writer of the final artifacts
+    # (SURVEY.md §5.8). coordinator wires jax.distributed; without it the
+    # same ownership logic runs "emulated" (tested single-machine).
+    num_processes: int | None = None
+    process_id: int | None = None
+    coordinator: str | None = None
 
     def snp_cfg(self) -> SnpCallConfig:
         return SnpCallConfig(min_af=self.min_allele_frequency)
@@ -125,6 +133,60 @@ class PipelineState:
     read_haps: dict[str, dict[str, tuple[int, int, int]]] = field(default_factory=dict)
 
 
+def _proc(cfg: PipelineConfig) -> tuple[int, int]:
+    """Resolved (process_id, num_processes). Explicit config wins (emulated
+    multi-process testing); else the live jax.distributed values."""
+    if cfg.num_processes is not None:
+        return cfg.process_id or 0, cfg.num_processes
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def _owned_contigs(names: list[str], pid: int, nproc: int) -> list[str]:
+    """Round-robin contig ownership over the sorted contig list — every
+    process derives the same assignment independently."""
+    ordered = sorted(names)
+    return [c for i, c in enumerate(ordered) if i % nproc == pid]
+
+
+def _barrier(cfg: PipelineConfig, name: str) -> None:
+    """Cross-process rendezvous; a no-op when emulated (the test harness
+    sequences the processes) or single-process."""
+    if cfg.coordinator is None:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def _parts_dir(cfg: PipelineConfig) -> str:
+    d = os.path.join(cfg.output, "parts")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _dump_part(cfg: PipelineConfig, stage: str, pid: int, payload) -> None:
+    import pickle
+
+    path = os.path.join(_parts_dir(cfg), f"{stage}.part{pid}.pkl")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)  # atomic: readers never see a torn part
+
+
+def _load_parts(cfg: PipelineConfig, stage: str, nproc: int) -> list:
+    import pickle
+
+    out = []
+    for pid in range(nproc):
+        path = os.path.join(_parts_dir(cfg), f"{stage}.part{pid}.pkl")
+        with open(path, "rb") as f:
+            out.append(pickle.load(f))
+    return out
+
+
 def _work_contigs(cfg: PipelineConfig, available: list[str]) -> list[str]:
     """Contigs to process, honoring -a and accepting chrN/N spellings."""
     canonical = resolve_contig_names(available, cfg.include_all_ctgs)
@@ -156,7 +218,13 @@ def stage_snp_calling(cfg: PipelineConfig, st: PipelineState) -> None:
                 break
     st.snps, st.site_obs = call_snps_for_store(
         st.store, ref_codes, cfg.snp_cfg(), threads=cfg.threads)
-    write_pileup_vcf(artifact, st.snps, st.store.contig_lengths)
+    pid, nproc = _proc(cfg)
+    if nproc > 1:
+        # multi-process: the canonical pileup.vcf.gz is merged and written
+        # by process 0 at the final stage
+        _dump_part(cfg, "snp", pid, (st.snps, st.store.contig_lengths))
+    else:
+        write_pileup_vcf(artifact, st.snps, st.store.contig_lengths)
     n = sum(len(s.pos) for s in st.snps.values())
     get_logger().info("called %d SNP sites over %d contigs", n, len(st.snps))
 
@@ -170,6 +238,21 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
         return
     sv_cfg = cfg.sv_cfg()
     calls = call_svs_for_store(st.store, sv_cfg)
+    pid, nproc = _proc(cfg)
+    if nproc > 1:
+        # per-contig calls + breakend evidence travel as a part-file:
+        # breakend junctions may pair contigs owned by DIFFERENT processes,
+        # so clustering runs globally on process 0 over the merged evidence
+        from duet_tpu.models.sv_caller import bnd_evidence_for_contig
+
+        evidence = {c: bnd_evidence_for_contig(cr, sv_cfg)
+                    for c, cr in st.store.contigs.items()}
+        _dump_part(cfg, "sv", pid,
+                   (calls, evidence, st.store.contig_lengths))
+        n = sum(len(v) for v in calls.values())
+        get_logger().info("clustered %d SV candidates (part %d/%d)",
+                          n, pid, nproc)
+        return
     bnds = call_bnds_for_store(st.store, sv_cfg)
     write_sv_vcf(artifact, calls, st.store.contig_lengths,
                  family=cfg.sv_caller, bnds=bnds)
@@ -272,21 +355,62 @@ def read_haplotag_table(path: str) -> dict[str, tuple[int, int, int]]:
     return out
 
 
+def _merge_parts_and_write(cfg: PipelineConfig, nproc: int) -> None:
+    """Process 0: fuse every part-file into the canonical single-process
+    artifacts (pileup.vcf.gz, variants.vcf incl. globally clustered
+    breakends) — from here on the final stage is identical to a
+    single-process run."""
+    from duet_tpu.models.sv_caller import call_bnds
+
+    snps: dict = {}
+    lengths: dict[str, int] = {}
+    for part_snps, part_lengths in _load_parts(cfg, "snp", nproc):
+        snps.update(part_snps)
+        lengths.update(part_lengths)
+    snps = dict(sorted(snps.items()))
+    write_pileup_vcf(os.path.join(cfg.output, "snp_calling", "pileup.vcf.gz"),
+                     snps, lengths)
+
+    calls: dict = {}
+    evidence: dict = {}
+    for part_calls, part_ev, part_lengths in _load_parts(cfg, "sv", nproc):
+        calls.update(part_calls)
+        evidence.update(part_ev)
+        lengths.update(part_lengths)
+    calls = dict(sorted(calls.items()))
+    bnds = call_bnds(evidence, cfg.sv_cfg())
+    write_sv_vcf(os.path.join(cfg.output, "sv_calling", "variants.vcf"),
+                 calls, lengths, family=cfg.sv_caller, bnds=bnds)
+    get_logger().info(
+        "merged %d part(s): %d contigs, %d breakend pairs", nproc,
+        len(calls), len(bnds),
+    )
+
+
 def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
+    pid, nproc = _proc(cfg)
+    if nproc > 1:
+        _barrier(cfg, "pre-merge")
+        if pid != 0:
+            return  # single-writer emission on process 0 (SURVEY.md §5.8)
+        _merge_parts_and_write(cfg, nproc)
     variants = os.path.join(cfg.output, "sv_calling", "variants.vcf")
     artifact = os.path.join(cfg.output, "phased_sv.vcf")
     if not os.path.exists(variants):
         raise FileNotFoundError(f"sv_calling artifact missing: {variants}")
     per_chrom = parse_sv_vcf(variants, cfg.include_all_ctgs)
-    if not st.read_haps:
-        # resume / phase-only path: reload per-chromosome read->haplotype
-        # maps from disk — framework .haplotags.tsv tables or
-        # reference-style haplotagged {chr}.bam files
+    have = {strip_chr(c) for c in st.read_haps}
+    missing = [c for c in per_chrom if strip_chr(c) not in have]
+    if missing:
+        # resume / phase-only / multi-process path: reload per-chromosome
+        # read->haplotype maps from disk — framework .haplotags.tsv tables
+        # or reference-style haplotagged {chr}.bam files (other processes'
+        # contigs arrive this way)
         from duet_tpu.io.haplotag_bam import read_hap_tables_from_dir
 
-        st.read_haps = read_hap_tables_from_dir(
-            os.path.join(cfg.output, "snp_phasing"), list(per_chrom)
-        )
+        st.read_haps.update(read_hap_tables_from_dir(
+            os.path.join(cfg.output, "snp_phasing"), missing
+        ))
     # align read-hap map keys to the parser's canonical names
     read_haps = {}
     for name in per_chrom:
@@ -303,17 +427,23 @@ def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     get_logger().info("phased %d SV calls -> %s", len(phased), artifact)
 
 
-def _ingest(cfg: PipelineConfig) -> ReadStore:
-    """Native C++ BAM decode (threaded BGZF inflate) with Python fallback."""
+def _ingest(cfg: PipelineConfig, only_contigs: set[str] | None = None) -> ReadStore:
+    """Native C++ BAM decode (threaded BGZF inflate) with Python fallback.
+
+    only_contigs: multi-process ownership filter — this process keeps just
+    its contigs' reads (native path filters post-decode)."""
     try:
         from duet_tpu.io.native_ingest import load_read_store_native
 
         store = load_read_store_native(cfg.bam, n_threads=cfg.threads)
         get_logger().info("ingest backend: native")
+        if only_contigs is not None:
+            store.contigs = {c: cr for c, cr in store.contigs.items()
+                             if c in only_contigs}
         return store
     except Exception as e:  # NativeUnavailable or build/runtime failure
         get_logger().warning("native ingest unavailable (%s); using Python reader", e)
-        return load_read_store(cfg.bam)
+        return load_read_store(cfg.bam, only_contigs=only_contigs)
 
 
 STAGES = (
@@ -455,10 +585,18 @@ def run_pipeline(cfg: PipelineConfig) -> str:
 
     check_envs(cfg)
     os.makedirs(cfg.output, exist_ok=True)
-    setup_logging(cfg.output)
+    if cfg.coordinator is not None:
+        from duet_tpu.parallel.distributed import init_distributed
+
+        init_distributed(cfg.coordinator, cfg.num_processes, cfg.process_id)
+    pid, nproc = _proc(cfg)
+    setup_logging(cfg.output, file_name="run_duet.log" if pid == 0
+                  else f"run_duet.p{pid}.log")
     if cfg.use_device_kernel:
         _enable_compilation_cache()
     log = get_logger()
+    if nproc > 1:
+        log.info("multi-process run: process %d of %d", pid, nproc)
 
     t0 = time.time()
     st = PipelineState()
@@ -466,7 +604,16 @@ def run_pipeline(cfg: PipelineConfig) -> str:
     with StageTimer("INGEST"):
         t = time.time()
         st.ref = FastaFile(cfg.reference)
-        st.store = _ingest(cfg)
+        owned = None
+        if nproc > 1:
+            from duet_tpu.io.bam import BamReader
+
+            with BamReader(cfg.bam) as r:
+                bam_names = list(r.header.ref_names)
+            work = _work_contigs(cfg, bam_names)
+            owned = set(_owned_contigs(work, pid, nproc))
+            log.info("owned contigs: %s", sorted(owned))
+        st.store = _ingest(cfg, only_contigs=owned)
         n_reads = sum(c.n for c in st.store.contigs.values())
         metrics["stages"]["ingest"] = round(time.time() - t, 4)
         metrics["counts"]["reads"] = n_reads
@@ -485,7 +632,8 @@ def run_pipeline(cfg: PipelineConfig) -> str:
         len(m) for m in st.read_haps.values()
     )
     metrics["total_s"] = round(time.time() - t0, 4)
-    with open(os.path.join(cfg.output, "metrics.json"), "w") as f:
+    metrics_name = "metrics.json" if pid == 0 else f"metrics.p{pid}.json"
+    with open(os.path.join(cfg.output, metrics_name), "w") as f:
         json.dump(metrics, f, indent=2)
     log.info("ALL STAGES COMPLETED IN %ss", metrics["total_s"])
     log.info("OUTPUT: %s", os.path.join(cfg.output, "phased_sv.vcf"))

@@ -19,7 +19,8 @@ def get_logger() -> logging.Logger:
     return logging.getLogger(_LOG_NAME)
 
 
-def setup_logging(output_dir: str | None = None, *, level: int = logging.INFO) -> logging.Logger:
+def setup_logging(output_dir: str | None = None, *, level: int = logging.INFO,
+                  file_name: str = "run_duet.log") -> logging.Logger:
     log = get_logger()
     log.setLevel(level)
     log.propagate = False
@@ -32,7 +33,7 @@ def setup_logging(output_dir: str | None = None, *, level: int = logging.INFO) -
     console.setFormatter(fmt)
     log.addHandler(console)
     if output_dir is not None:
-        fh = logging.FileHandler(f"{output_dir}/run_duet.log", mode="w")
+        fh = logging.FileHandler(f"{output_dir}/{file_name}", mode="w")
         fh.setFormatter(fmt)
         log.addHandler(fh)
     return log

@@ -23,3 +23,35 @@ def test_pallas_matches_jnp(R, S, B):
     np.testing.assert_array_equal(np.asarray(pc)[tagged],
                                   np.asarray(ref["pc"])[tagged])
     np.testing.assert_array_equal(np.asarray(best), np.asarray(ref["best_block"]))
+
+
+@pytest.mark.parametrize("R,S,B,sweeps", [
+    (300, 200, 5, 2), (1024, 512, 16, 2), (257, 129, 3, 3), (512, 256, 8, 0),
+])
+def test_fused_matches_jnp(R, S, B, sweeps):
+    """The fully fused kernel (power sweeps + scoring, aw built in VMEM)
+    must reproduce phase_and_tag bit-for-bit — every intermediate sum is an
+    exactly representable integer, so accumulation order cannot drift."""
+    import jax.numpy as jnp
+
+    from duet_tpu.ops.pallas_haplotag import phase_and_tag_fused
+
+    alleles, weights, phase0, onehot = g._example_batch(R=R, S=S, B=B, seed=R)
+    ref = phase_and_tag(alleles, weights, phase0, onehot, sweeps=sweeps)
+    fus = phase_and_tag_fused(
+        jnp.asarray(alleles), jnp.asarray(weights, jnp.bfloat16),
+        jnp.asarray(phase0), jnp.asarray(onehot),
+        sweeps=sweeps, interpret=INTERPRET,
+    )
+    for key in ("hap", "pc", "best_block", "phase"):
+        np.testing.assert_array_equal(np.asarray(ref[key]),
+                                      np.asarray(fus[key]), err_msg=key)
+
+
+def test_fused_rejects_f32_weights():
+    from duet_tpu.ops.pallas_haplotag import phase_and_tag_fused
+
+    alleles, weights, phase0, onehot = g._example_batch(R=64, S=128, B=2, seed=0)
+    with pytest.raises(TypeError):
+        phase_and_tag_fused(alleles, weights, phase0, onehot,
+                            interpret=INTERPRET)
