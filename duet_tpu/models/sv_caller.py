@@ -159,7 +159,8 @@ def _segment_table(cr: ContigReads, cfg: SvCallConfig):
 
 
 def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
-    """INV/DUP signatures from split alignments (primary + supplementary).
+    """INS/DEL/INV/DUP signatures from split alignments (primary +
+    supplementary).
 
     Per read (grouped by name), segments sorted by forward-query offset:
       INV — a segment whose strand differs from the read's majority strand
@@ -167,8 +168,14 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
       DUP — adjacent same-strand segments whose reference windows OVERLAP:
             the read passes the same reference span twice (tandem copy);
             len = overlap = min(ends) - max(starts).  The overlap test is
-            strand-symmetric: colinear splits (e.g. across a deletion) have
-            non-positive overlap in either orientation and never fire.
+            strand-symmetric: colinear splits have non-positive overlap in
+            either orientation and never fire.
+      DEL/INS — adjacent same-strand COLINEAR segments: aligners emit large
+            indels as split alignments instead of one long CIGAR run, so the
+            reference-gap vs query-gap imbalance is the event size
+            (ref_gap - q_gap >= sig_min -> DEL at the gap start;
+            q_gap - ref_gap >= sig_min -> INS).  These merge into the same
+            clusters as the CIGAR-run signatures of other reads.
     """
     by_name: dict[str, list[int]] = {}
     for i, name in enumerate(cr.names):
@@ -208,6 +215,28 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
                 t_parts.append(SVTYPE_DUP)
                 p_parts.append(ov_lo)
                 l_parts.append(dup_len)
+                r_parts.append(anchor)
+                continue
+            # colinear split: minus-strand pairs walk the reference
+            # backwards in query order, so the gap orientation flips
+            if cr.strand[a] == 0:
+                ref_gap = int(cr.starts[b] - cr.ends[a])
+                gap_pos = int(cr.ends[a])
+            else:
+                ref_gap = int(cr.starts[a] - cr.ends[b])
+                gap_pos = int(cr.ends[b])
+            q_gap = int(fwd_qs[b] - fwd_qe[a])
+            if ref_gap < 0 or q_gap < 0:
+                continue
+            if ref_gap - q_gap >= cfg.sig_min:
+                t_parts.append(SVTYPE_DEL)
+                p_parts.append(gap_pos)
+                l_parts.append(ref_gap - q_gap)
+                r_parts.append(anchor)
+            elif q_gap - ref_gap >= cfg.sig_min:
+                t_parts.append(SVTYPE_INS)
+                p_parts.append(gap_pos)
+                l_parts.append(q_gap - ref_gap)
                 r_parts.append(anchor)
     return Signatures(
         np.array(t_parts, dtype=np.int8),

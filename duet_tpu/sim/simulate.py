@@ -36,6 +36,9 @@ class SimConfig:
     inv_fraction: float = 0.0   # share of SV events that are inversions
     dup_fraction: float = 0.0   # share that are tandem duplications
     tra_count: int = 0          # inter-contig translocation junctions (needs >=2 contigs)
+    split_del_min: int = 0      # aligner realism: DELs >= this size are
+                                # emitted as split alignments (two colinear
+                                # segments) instead of one CIGAR D run; 0 off
     sub_error: float = 0.02
     indel_error: float = 0.01  # small 1-3bp sequencing indels
     qual_mean: int = 22
@@ -211,8 +214,15 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
             elif carried and kind == 1:        # DEL
                 seq.append(ref_codes[pos:pos + 1].copy())
                 add(0, 1)
-                add(2, -ln)
-                pos += 1 - ln
+                if cfg.split_del_min and -ln >= cfg.split_del_min:
+                    # long deletion: the aligner splits the read into two
+                    # colinear segments around the missing span
+                    close_segment()
+                    seg_ref_start = pos + 1 - ln
+                    pos = pos + 1 - ln
+                else:
+                    add(2, -ln)
+                    pos += 1 - ln
             elif carried and kind == 2:        # INV: split, middle segment minus
                 a, b = pos, pos + ln
                 v = min(end_target - a, ln)
