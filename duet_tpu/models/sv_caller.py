@@ -68,6 +68,13 @@ class Signatures:
     pos: np.ndarray      # (k,) int64 0-based ref position of the event start
     length: np.ndarray   # (k,) int64 event length (positive)
     read_idx: np.ndarray # (k,) int32 index into ContigReads
+    # query offset of the event in the read's STORED sequence (-1 when the
+    # bases are unavailable, e.g. split signatures or merged runs) — lets
+    # INS calls resolve the actual inserted sequence for the ALT column
+    qpos: np.ndarray | None = None
+
+    def qpos_or_none(self, i: int) -> int:
+        return -1 if self.qpos is None else int(self.qpos[i])
 
 
 def extract_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
@@ -79,7 +86,7 @@ def extract_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
     n_ops = len(ops)
     if n_ops == 0:
         e = np.zeros(0, dtype=np.int64)
-        return Signatures(e.astype(np.int8), e, e, e.astype(np.int32))
+        return Signatures(e.astype(np.int8), e, e, e.astype(np.int32), e)
 
     # read id per op
     op_read = np.repeat(np.arange(cr.n, dtype=np.int32),
@@ -99,11 +106,21 @@ def extract_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
     sig_pos = op_ref_pos[is_sig]
     sig_len = lens[is_sig]
     sig_read = op_read[is_sig]
+    # query offsets (stored orientation): exclusive scan of query-consuming
+    # lens, reset per read — where an I run's bases live in cr.seq
+    consumes_q = ((ops == 0) | (ops == 1) | (ops == 4) | (ops == 7) | (ops == 8))
+    q_adv = np.where(consumes_q, lens, 0)
+    qcum = np.cumsum(q_adv) - q_adv
+    read_first_qcum = qcum[np.minimum(start_of_read, n_ops - 1)]
+    sig_qpos = (qcum - read_first_qcum[op_read])[is_sig]
+    # soft clips (4) consume stored bases and count; hard clips (5) are
+    # absent from cr.seq and do not — offsets index cr.seq directly
 
     # within-read merge: consecutive same-type signatures of one read closer
     # than merge_dist fuse into one event (summed length, first position)
     order = np.lexsort((sig_pos, sig_type, sig_read))
-    t, p, l, r = sig_type[order], sig_pos[order], sig_len[order], sig_read[order]
+    t, p, l, r, q = (sig_type[order], sig_pos[order], sig_len[order],
+                     sig_read[order], sig_qpos[order])
     if len(t):
         new_group = np.ones(len(t), dtype=bool)
         same = (r[1:] == r[:-1]) & (t[1:] == t[:-1]) & (p[1:] - p[:-1] <= cfg.merge_dist)
@@ -115,8 +132,12 @@ def extract_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
         m_len = np.bincount(gid, weights=l).astype(np.int64)
         first = np.zeros(ng, dtype=np.int64)
         first[gid[::-1]] = np.arange(len(t))[::-1]
-        t, p, l, r = t[first], m_pos, m_len, r[first]
-    return Signatures(t, p, l, r)
+        # merged events span several runs: their bases are not contiguous,
+        # so only singleton groups keep a resolvable query offset
+        singleton = np.bincount(gid, minlength=ng) == 1
+        m_q = np.where(singleton, q[first], -1)
+        t, p, l, r, q = t[first], m_pos, m_len, r[first], m_q
+    return Signatures(t, p, l, r, q)
 
 
 def cmd_as_rational(cmd: float) -> tuple[int, int]:
@@ -248,7 +269,8 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
 
 def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int):
     """Sorted chain clustering via the shared segment-reduce formulation
-    (duet_tpu.ops.cluster) -> list of (call_pos, call_len, member_read_ids)."""
+    (duet_tpu.ops.cluster) -> list of (call_pos, call_len, member_rows),
+    member_rows indexing the input signature arrays."""
     from duet_tpu.ops.cluster import GAP, SPAN, cluster_host
 
     k = len(pos)
@@ -265,8 +287,8 @@ def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int):
     np.cumsum(count, out=bounds[1:])
     out = []
     for s in range(len(call_pos)):
-        members = read_idx[order[bounds[s]:bounds[s + 1]]]
-        out.append((int(call_pos[s]), int(call_len[s]), members))
+        rows = order[bounds[s]:bounds[s + 1]]
+        out.append((int(call_pos[s]), int(call_len[s]), rows))
     return out
 
 
@@ -281,6 +303,7 @@ class SvCall:
     gt: str
     dr: int
     dv: int
+    alt_seq: str | None = None  # resolved inserted sequence (INS only)
 
 
 def _genotype(af: float, depth: int, cfg: SvCallConfig) -> str:
@@ -334,18 +357,26 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
         np.concatenate([cig.pos, spl.pos]),
         np.concatenate([cig.length, spl.length]),
         np.concatenate([cig.read_idx, spl.read_idx]),
+        np.concatenate([
+            cig.qpos if cig.qpos is not None
+            else np.full(len(cig.pos), -1, dtype=np.int64),
+            np.full(len(spl.pos), -1, dtype=np.int64),
+        ]),
     )
     calls: list[SvCall] = []
     buf = cfg.span_buffer
     pool_starts, pool_ends_sorted, prim_span = _spanning_pool(cr, cfg)
     for svtype in (SVTYPE_INS, SVTYPE_DEL, SVTYPE_INV, SVTYPE_DUP):
         m = sigs.svtype == svtype
+        sig_idx = np.flatnonzero(m)
         clusters = _cluster_one_type(
             sigs.pos[m], sigs.length[m], sigs.read_idx[m], cfg, svtype
         )
-        for cp, cl, member_reads in clusters:
+        for cp, cl, rows_f in clusters:
             if cl < cfg.min_size:
                 continue
+            member_sigs = sig_idx[rows_f]
+            member_reads = sigs.read_idx[member_sigs]
             uniq_rows = np.unique(member_reads)
             names = sorted({cr.names[i] for i in uniq_rows})
             support = len(names)
@@ -357,10 +388,26 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
                               names, cp, buf)
             dv = support
             af = dv / max(dv + dr, 1)
+            # resolve the inserted sequence from the representative member:
+            # the one whose length IS the call's lower-median length (cuteSV
+            # likewise reports one supporting read's insert)
+            alt_seq = None
+            if svtype == SVTYPE_INS:
+                from duet_tpu.io.fasta import decode_bases
+
+                for j in member_sigs:
+                    q = sigs.qpos_or_none(j)
+                    if sigs.length[j] != cl or q < 0:
+                        continue
+                    rd = int(sigs.read_idx[j])
+                    s0 = int(cr.seq_off[rd]) + q
+                    if s0 + cl <= int(cr.seq_off[rd + 1]):
+                        alt_seq = decode_bases(cr.seq[s0:s0 + cl])
+                        break
             calls.append(SvCall(
                 contig=cr.contig, pos=cp, svtype=TYPE_NAMES[svtype], length=cl,
                 support=support, read_names=names,
-                gt=_genotype(af, dv + dr, cfg), dr=dr, dv=dv,
+                gt=_genotype(af, dv + dr, cfg), dr=dr, dv=dv, alt_seq=alt_seq,
             ))
     calls.sort(key=lambda c: c.pos)
     return calls
@@ -595,9 +642,13 @@ def write_sv_vcf(path: str, calls: dict[str, list[SvCall]],
             svlen = -c.length if c.svtype == "DEL" else c.length
             info, fmt, sample = _fmt_sample(
                 c, f"SVLEN={svlen};SVTYPE={c.svtype};")
+            # sequence-resolved INS (REF base + inserted bases, cuteSV-style);
+            # symbolic ALT otherwise
+            alt = ("N" + c.alt_seq if c.svtype == "INS" and c.alt_seq
+                   else f"<{c.svtype}>")
             per_contig[contig].append((c.pos, (
                 f"{contig}\t{c.pos + 1}\tduet_tpu.{c.svtype}.{idx}\tN\t"
-                f"<{c.svtype}>\t.\tPASS\t{info}\t{fmt}\t{sample}"
+                f"{alt}\t.\tPASS\t{info}\t{fmt}\t{sample}"
             )))
             idx += 1
     for k, b in enumerate(bnds):

@@ -63,3 +63,28 @@ def test_full_pipeline_with_inv_dup(invdup_demo, tmp_path):
     assert res.phasing[2] >= 0.85, f"phasing f1 {res.phasing[2]}"
     text = open(out).read()
     assert "SVTYPE=<INV>" in text and "SVTYPE=<DUP>" in text
+
+
+def test_ins_alt_sequence_resolved(invdup_demo):
+    """INS calls report the actual inserted bases in ALT (cuteSV-style
+    sequence-resolved records), matching the simulated insert."""
+    from duet_tpu.io.fasta import decode_bases
+    from duet_tpu.models.sv_caller import SvCallConfig as _Cfg
+
+    d, truth = invdup_demo
+    store = load_read_store(f"{d}/reads.bam")
+    calls = call_svs_for_contig(store.contigs["chr21"], _Cfg())
+    ins_truth = {int(p): decode_bases(s) for p, k, s in
+                 zip(truth.sv_pos["chr21"], truth.sv_kind["chr21"],
+                     truth.sv_ins_seq["chr21"]) if k == 0}
+    checked = 0
+    for c in calls:
+        if c.svtype != "INS":
+            continue
+        assert c.alt_seq is not None and len(c.alt_seq) == c.length
+        near = [s for p, s in ins_truth.items() if abs(p - c.pos) <= 100]
+        if near and len(near[0]) == len(c.alt_seq):
+            ident = sum(a == b for a, b in zip(near[0], c.alt_seq)) / c.length
+            assert ident >= 0.85, f"insert identity {ident} at {c.pos}"
+            checked += 1
+    assert checked > 0
