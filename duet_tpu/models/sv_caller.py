@@ -179,7 +179,29 @@ def _segment_table(cr: ContigReads, cfg: SvCallConfig):
     return fwd_qstart, fwd_qstart + qaln, L
 
 
-def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
+@dataclass
+class ContigTables:
+    """Once-per-contig host scans shared by intra-contig SV calling and
+    breakend evidence (both need the split-segment geometry and the
+    spanning DR pool; computing them twice doubles the hot host loop)."""
+
+    fwd_qs: np.ndarray
+    fwd_qe: np.ndarray
+    read_len: np.ndarray
+    pool_starts: np.ndarray
+    pool_ends_sorted: np.ndarray
+    prim_span: dict
+
+
+def contig_tables(cr: ContigReads, cfg: SvCallConfig) -> ContigTables:
+    fwd_qs, fwd_qe, L = _segment_table(cr, cfg)
+    pool_starts, pool_ends_sorted, prim_span = _spanning_pool(cr, cfg)
+    return ContigTables(fwd_qs, fwd_qe, L,
+                        pool_starts, pool_ends_sorted, prim_span)
+
+
+def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig,
+                             tables: ContigTables | None = None) -> Signatures:
     """INS/DEL/INV/DUP signatures from split alignments (primary +
     supplementary).
 
@@ -201,7 +223,8 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
     by_name: dict[str, list[int]] = {}
     for i, name in enumerate(cr.names):
         by_name.setdefault(name, []).append(i)
-    fwd_qs, fwd_qe, _ = _segment_table(cr, cfg)
+    tables = tables or contig_tables(cr, cfg)
+    fwd_qs, fwd_qe = tables.fwd_qs, tables.fwd_qe
 
     t_parts, p_parts, l_parts, r_parts = [], [], [], []
     for name, rows in by_name.items():
@@ -247,16 +270,20 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig) -> Signatures:
                 ref_gap = int(cr.starts[a] - cr.ends[b])
                 gap_pos = int(cr.ends[b])
             q_gap = int(fwd_qs[b] - fwd_qe[a])
-            if ref_gap < 0 or q_gap < 0:
+            if q_gap < 0:
                 continue
-            if ref_gap - q_gap >= cfg.sig_min:
+            if ref_gap >= 0 and ref_gap - q_gap >= cfg.sig_min:
                 t_parts.append(SVTYPE_DEL)
                 p_parts.append(gap_pos)
                 l_parts.append(ref_gap - q_gap)
                 r_parts.append(anchor)
             elif q_gap - ref_gap >= cfg.sig_min:
+                # ref_gap may be slightly NEGATIVE here (microhomology at an
+                # insertion breakpoint, bounded by -sig_min since larger
+                # overlaps took the DUP branch) — the query surplus is still
+                # the inserted length
                 t_parts.append(SVTYPE_INS)
-                p_parts.append(gap_pos)
+                p_parts.append(min(gap_pos, gap_pos + ref_gap))
                 l_parts.append(q_gap - ref_gap)
                 r_parts.append(anchor)
     return Signatures(
@@ -349,9 +376,11 @@ def _spanning_dr(pool_starts, pool_ends_sorted, prim_span, names,
     return max(spanning - support_spanning, 0)
 
 
-def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
+def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig,
+                        tables: ContigTables | None = None) -> list[SvCall]:
+    tables = tables or contig_tables(cr, cfg)
     cig = extract_signatures(cr, cfg)
-    spl = extract_split_signatures(cr, cfg)
+    spl = extract_split_signatures(cr, cfg, tables)
     sigs = Signatures(
         np.concatenate([cig.svtype, spl.svtype]),
         np.concatenate([cig.pos, spl.pos]),
@@ -365,7 +394,9 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig) -> list[SvCall]:
     )
     calls: list[SvCall] = []
     buf = cfg.span_buffer
-    pool_starts, pool_ends_sorted, prim_span = _spanning_pool(cr, cfg)
+    pool_starts = tables.pool_starts
+    pool_ends_sorted = tables.pool_ends_sorted
+    prim_span = tables.prim_span
     for svtype in (SVTYPE_INS, SVTYPE_DEL, SVTYPE_INV, SVTYPE_DUP):
         m = sigs.svtype == svtype
         sig_idx = np.flatnonzero(m)
@@ -463,23 +494,25 @@ class BndEvidence:
     prim_span: dict[str, tuple[int, int]]
 
 
-def bnd_evidence_for_contig(cr: ContigReads, cfg: SvCallConfig) -> BndEvidence:
+def bnd_evidence_for_contig(cr: ContigReads, cfg: SvCallConfig,
+                            tables: ContigTables | None = None) -> BndEvidence:
     """Split-candidate alignments: rows whose clipped tail is large enough to
     hold a partner segment (clip >= sig_min).  Cross-contig pairing happens
     later over all contigs' summaries."""
-    fwd_qs, fwd_qe, L = _segment_table(cr, cfg)
-    clip = L - (fwd_qe - fwd_qs)
+    tables = tables or contig_tables(cr, cfg)
+    fwd_qs, fwd_qe = tables.fwd_qs, tables.fwd_qe
+    clip = tables.read_len - (fwd_qe - fwd_qs)
     rows = np.flatnonzero((clip >= cfg.sig_min) & (cr.mapq >= cfg.min_mapq))
     segs = [
         (cr.names[i], int(fwd_qs[i]), int(cr.starts[i]), int(cr.ends[i]),
          int(cr.strand[i]))
         for i in rows
     ]
-    pool_starts, pool_ends_sorted, prim_span = _spanning_pool(cr, cfg)
     # only split-candidate names can support a BND; keep the map small
     names = {s[0] for s in segs}
-    prim_span = {n: v for n, v in prim_span.items() if n in names}
-    return BndEvidence(cr.contig, segs, pool_starts, pool_ends_sorted, prim_span)
+    prim_span = {n: v for n, v in tables.prim_span.items() if n in names}
+    return BndEvidence(cr.contig, segs, tables.pool_starts,
+                       tables.pool_ends_sorted, prim_span)
 
 
 def _bnd_signatures(evidence: dict[str, BndEvidence], cfg: SvCallConfig):
@@ -498,10 +531,12 @@ def _bnd_signatures(evidence: dict[str, BndEvidence], cfg: SvCallConfig):
         for a, b in zip(segs[:-1], segs[1:]):
             if a[1] == b[1]:
                 continue
-            # earlier segment: junction at ref end (+) / ref start (-)
-            p1, s1 = (a[3], "L") if a[4] == 0 else (a[2], "R")
+            # earlier segment: junction at ref end (+) / ref start (-);
+            # 'L' breakends sit ON the last retained base, so the exclusive
+            # segment end is decremented (VCF breakend convention)
+            p1, s1 = (a[3] - 1, "L") if a[4] == 0 else (a[2], "R")
             # later segment: junction at ref start (+) / ref end (-)
-            p2, s2 = (b[2], "R") if b[4] == 0 else (b[3], "L")
+            p2, s2 = (b[2], "R") if b[4] == 0 else (b[3] - 1, "L")
             c1, c2 = a[1], b[1]
             if (c2, p2) < (c1, p1):
                 c1, p1, s1, c2, p2, s2 = c2, p2, s2, c1, p1, s1
@@ -561,6 +596,14 @@ def call_bnds_for_store(store: ReadStore,
     evidence = {c: bnd_evidence_for_contig(cr, cfg)
                 for c, cr in store.contigs.items()}
     return call_bnds(evidence, cfg)
+
+
+def call_contig_with_evidence(cr: ContigReads, cfg: SvCallConfig):
+    """(intra-contig calls, breakend evidence) sharing one table scan —
+    what the pipeline stages use."""
+    tables = contig_tables(cr, cfg)
+    return (call_svs_for_contig(cr, cfg, tables),
+            bnd_evidence_for_contig(cr, cfg, tables))
 
 
 def bnd_alt(side_this: str, side_mate: str, mate_contig: str,

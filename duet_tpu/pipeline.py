@@ -42,12 +42,7 @@ from duet_tpu.models.snp_phaser import (
     read_hap_map,
     write_phased_snp_vcf,
 )
-from duet_tpu.models.sv_caller import (
-    SvCallConfig,
-    call_bnds_for_store,
-    call_svs_for_store,
-    write_sv_vcf,
-)
+from duet_tpu.models.sv_caller import SvCallConfig, write_sv_vcf
 from duet_tpu.utils.chrom import resolve_contig_names, strip_chr
 from duet_tpu.utils.logging import StageTimer, get_logger, setup_logging
 
@@ -137,7 +132,13 @@ def _proc(cfg: PipelineConfig) -> tuple[int, int]:
     """Resolved (process_id, num_processes). Explicit config wins (emulated
     multi-process testing); else the live jax.distributed values."""
     if cfg.num_processes is not None:
-        return cfg.process_id or 0, cfg.num_processes
+        if cfg.num_processes > 1 and cfg.process_id is None:
+            raise ValueError("--num-processes > 1 requires --process-id")
+        pid = cfg.process_id or 0
+        if not 0 <= pid < cfg.num_processes:
+            raise ValueError(
+                f"process_id {pid} out of range for {cfg.num_processes} processes")
+        return pid, cfg.num_processes
     import jax
 
     return jax.process_index(), jax.process_count()
@@ -237,23 +238,23 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
         get_logger().info("resume: keeping %s", artifact)
         return
     sv_cfg = cfg.sv_cfg()
-    calls = call_svs_for_store(st.store, sv_cfg)
+    from duet_tpu.models.sv_caller import call_bnds, call_contig_with_evidence
+
+    calls, evidence = {}, {}
+    for contig, cr in st.store.contigs.items():
+        calls[contig], evidence[contig] = call_contig_with_evidence(cr, sv_cfg)
     pid, nproc = _proc(cfg)
     if nproc > 1:
         # per-contig calls + breakend evidence travel as a part-file:
         # breakend junctions may pair contigs owned by DIFFERENT processes,
         # so clustering runs globally on process 0 over the merged evidence
-        from duet_tpu.models.sv_caller import bnd_evidence_for_contig
-
-        evidence = {c: bnd_evidence_for_contig(cr, sv_cfg)
-                    for c, cr in st.store.contigs.items()}
         _dump_part(cfg, "sv", pid,
                    (calls, evidence, st.store.contig_lengths))
         n = sum(len(v) for v in calls.values())
         get_logger().info("clustered %d SV candidates (part %d/%d)",
                           n, pid, nproc)
         return
-    bnds = call_bnds_for_store(st.store, sv_cfg)
+    bnds = call_bnds(evidence, sv_cfg)
     write_sv_vcf(artifact, calls, st.store.contig_lengths,
                  family=cfg.sv_caller, bnds=bnds)
     n = sum(len(v) for v in calls.values())
@@ -355,6 +356,18 @@ def read_haplotag_table(path: str) -> dict[str, tuple[int, int, int]]:
     return out
 
 
+def _bam_order(cfg: PipelineConfig, d: dict) -> dict:
+    """Reorder a per-contig dict to the BAM header's contig order — the
+    order a single-process run iterates in, so merged multi-process
+    artifacts stay byte-identical (lexicographic sort would swap e.g.
+    chr10 before chr2)."""
+    from duet_tpu.io.bam import BamReader
+
+    with BamReader(cfg.bam) as r:
+        rank = {n: i for i, n in enumerate(r.header.ref_names)}
+    return dict(sorted(d.items(), key=lambda kv: rank.get(kv[0], len(rank))))
+
+
 def _merge_parts_and_write(cfg: PipelineConfig, nproc: int) -> None:
     """Process 0: fuse every part-file into the canonical single-process
     artifacts (pileup.vcf.gz, variants.vcf incl. globally clustered
@@ -367,7 +380,7 @@ def _merge_parts_and_write(cfg: PipelineConfig, nproc: int) -> None:
     for part_snps, part_lengths in _load_parts(cfg, "snp", nproc):
         snps.update(part_snps)
         lengths.update(part_lengths)
-    snps = dict(sorted(snps.items()))
+    snps = _bam_order(cfg, snps)
     write_pileup_vcf(os.path.join(cfg.output, "snp_calling", "pileup.vcf.gz"),
                      snps, lengths)
 
@@ -377,7 +390,7 @@ def _merge_parts_and_write(cfg: PipelineConfig, nproc: int) -> None:
         calls.update(part_calls)
         evidence.update(part_ev)
         lengths.update(part_lengths)
-    calls = dict(sorted(calls.items()))
+    calls = _bam_order(cfg, calls)
     bnds = call_bnds(evidence, cfg.sv_cfg())
     write_sv_vcf(os.path.join(cfg.output, "sv_calling", "variants.vcf"),
                  calls, lengths, family=cfg.sv_caller, bnds=bnds)
@@ -466,12 +479,11 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     import time
 
     from duet_tpu.io.readstore import stream_contig_reads
-    from duet_tpu.models.sv_caller import (
-        bnd_evidence_for_contig,
-        call_bnds,
-        call_svs_for_contig,
-    )
+    from duet_tpu.models.sv_caller import call_bnds, call_contig_with_evidence
 
+    if (cfg.num_processes or 1) > 1:
+        raise ValueError("--stream does not combine with multi-process runs; "
+                         "use one mode or the other")
     check_envs(cfg)
     os.makedirs(cfg.output, exist_ok=True)
     setup_logging(cfg.output)
@@ -521,9 +533,9 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             site_obs = filter_observations_to_sites(*obs, snps.pos)
             del obs
             snps_all[cr.contig] = snps
-            calls_all[cr.contig] = call_svs_for_contig(cr, cfg.sv_cfg())
             # cross-contig breakend evidence survives the contig's release
-            bnd_evidence[cr.contig] = bnd_evidence_for_contig(cr, cfg.sv_cfg())
+            calls_all[cr.contig], bnd_evidence[cr.contig] = \
+                call_contig_with_evidence(cr, cfg.sv_cfg())
             result = phase_contig(cr, snps, cfg.snp_cfg(),
                                   use_device=cfg.use_device_kernel,
                                   obs=site_obs)
@@ -566,6 +578,8 @@ def run_phase_only(cfg: PipelineConfig) -> str:
     per-chromosome BAMs carrying HP/PC/PS tags.  Lets reference users
     re-phase their existing intermediates, and is the parity surface for
     comparing final VCFs against the reference on identical inputs."""
+    if (cfg.num_processes or 1) > 1:
+        raise ValueError("--phase-only is a single-process mode")
     os.makedirs(cfg.output, exist_ok=True)
     setup_logging(cfg.output)
     st = PipelineState()
@@ -590,6 +604,10 @@ def run_pipeline(cfg: PipelineConfig) -> str:
 
         init_distributed(cfg.coordinator, cfg.num_processes, cfg.process_id)
     pid, nproc = _proc(cfg)
+    if nproc > 1 and cfg.resume:
+        raise ValueError("--resume does not combine with multi-process runs: "
+                         "stage outputs live in part files, not the "
+                         "single-process artifacts resume checks")
     setup_logging(cfg.output, file_name="run_duet.log" if pid == 0
                   else f"run_duet.p{pid}.log")
     if cfg.use_device_kernel:

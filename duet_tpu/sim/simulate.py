@@ -447,17 +447,20 @@ def _write_truth_vcf(path: str, cfg: SimConfig, truth: SimTruth) -> None:
                 f"{name}\t{p + 1}\ttruth.{name}.{i}\tN\t<{svtype}>\t.\tPASS\t"
                 f"SVLEN={l};SVTYPE={svtype}\tGT:PS\t{gts}:1"
             )
-    # translocation junctions: a mated breakend record per side
+    # translocation junctions: a mated breakend record per side.  Reads
+    # retain [start, pa) on contig A, so the 'L'-side breakend sits ON the
+    # last retained base pa-1 (1-based: pa); the 'R' side starts AT pb
+    # (1-based: pb+1) — VCF breakend convention
     for i, (ca, pa, cb, pb, gt) in enumerate(truth.tra):
         gts = f"{gt[0]}|{gt[1]}"
         records.append(
-            f"{ca}\t{pa + 1}\ttruth.BND.{i}.1\tN\tN[{cb}:{pb + 1}[\t.\tPASS\t"
+            f"{ca}\t{pa}\ttruth.BND.{i}.1\tN\tN[{cb}:{pb + 1}[\t.\tPASS\t"
             f"SVTYPE=BND;CHR2={cb};END={pb + 1};MATEID=truth.BND.{i}.2\t"
             f"GT:PS\t{gts}:1"
         )
         records.append(
-            f"{cb}\t{pb + 1}\ttruth.BND.{i}.2\tN\t]{ca}:{pa + 1}]N\t.\tPASS\t"
-            f"SVTYPE=BND;CHR2={ca};END={pa + 1};MATEID=truth.BND.{i}.1\t"
+            f"{cb}\t{pb + 1}\ttruth.BND.{i}.2\tN\t]{ca}:{pa}]N\t.\tPASS\t"
+            f"SVTYPE=BND;CHR2={ca};END={pa};MATEID=truth.BND.{i}.1\t"
             f"GT:PS\t{gts}:1"
         )
     write_vcf(path, header, records)

@@ -92,3 +92,35 @@ def test_per_process_metrics(multi_demo, tmp_path):
     m1 = json.load(open(shared / "metrics.p1.json"))
     # each process ingested only its owned contigs
     assert m0["counts"]["contigs"] + m1["counts"]["contigs"] == 3
+
+
+def test_flag_validation(multi_demo, tmp_path):
+    d, _ = multi_demo
+    with pytest.raises(ValueError, match="requires --process-id"):
+        run_pipeline(_cfg(d, tmp_path / "x", num_processes=2))
+    with pytest.raises(ValueError, match="out of range"):
+        run_pipeline(_cfg(d, tmp_path / "x", num_processes=2, process_id=2))
+    with pytest.raises(ValueError, match="resume"):
+        run_pipeline(_cfg(d, tmp_path / "x", num_processes=2, process_id=0,
+                          resume=True))
+    from duet_tpu.pipeline import run_phase_only, run_pipeline_streaming
+    with pytest.raises(ValueError, match="stream"):
+        run_pipeline_streaming(_cfg(d, tmp_path / "x", num_processes=2,
+                                    process_id=0))
+    with pytest.raises(ValueError, match="single-process"):
+        run_phase_only(_cfg(d, tmp_path / "x", num_processes=2, process_id=0))
+
+
+def test_merge_keeps_bam_header_contig_order(tmp_path):
+    """chr10 sorts lexicographically BEFORE chr2: the part merge must keep
+    BAM header order or multi-process artifacts diverge byte-wise."""
+    d = tmp_path / "data"
+    simulate_dataset(str(d), SimConfig(
+        contigs={"chr2": 100_000, "chr10": 100_000}, seed=13, coverage=16.0))
+    single = run_pipeline(_cfg(d, tmp_path / "single"))
+    shared = tmp_path / "shared"
+    run_pipeline(_cfg(d, shared, num_processes=2, process_id=1))
+    multi = run_pipeline(_cfg(d, shared, num_processes=2, process_id=0))
+    sv = "sv_calling/variants.vcf"
+    assert open(shared / sv).read() == open(tmp_path / "single" / sv).read()
+    assert open(multi).read() == open(single).read()
