@@ -353,8 +353,19 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     observations span fewer than `halo` sites past the window edge (long
     reads cover ~10-100 het sites, windows hold thousands).  Reads spanning
     wider — and windows the device rejects — fall back to the sparse host
-    path, keeping outputs exactly equal to _haplotag."""
+    path, keeping outputs exactly equal to _haplotag.
+
+    On accelerator backends the scoring runs through the fused-epilogue
+    Pallas kernel — besides skipping the HBM round-trips, it pads the block
+    axis to the 128-lane boundary, so the per-window block-count bucketing
+    no longer multiplies jit shapes (one compile per window geometry)."""
+    import jax
+
     from duet_tpu.ops.haplotag import phase_and_tag
+
+    use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from duet_tpu.ops.pallas_haplotag import haplotag_score_pallas
 
     n, m = am.n_reads, am.n_sites
     read_hap = np.zeros(n, dtype=np.int8)
@@ -412,11 +423,16 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         # so the jit (and the persistent compile cache) is hit forever after
         for c0 in range(0, len(rows), 256):
             c1 = min(c0 + 256, len(rows))
-            out = phase_and_tag(A[c0:c0 + 256], Wt[c0:c0 + 256], ph, onehot,
-                                sweeps=0)
-            hap = np.asarray(out["hap"])[: c1 - c0]
-            pc = np.asarray(out["pc"])[: c1 - c0]
-            best = np.asarray(out["best_block"])[: c1 - c0]
+            if use_pallas:
+                hap_d, pc_d, best_d = haplotag_score_pallas(
+                    A[c0:c0 + 256], Wt[c0:c0 + 256], ph, onehot)
+            else:
+                out = phase_and_tag(A[c0:c0 + 256], Wt[c0:c0 + 256], ph,
+                                    onehot, sweeps=0)
+                hap_d, pc_d, best_d = out["hap"], out["pc"], out["best_block"]
+            hap = np.asarray(hap_d)[: c1 - c0]
+            pc = np.asarray(pc_d)[: c1 - c0]
+            best = np.asarray(best_d)[: c1 - c0]
             tagged = hap != 0
             rsel = rows[c0:c1][tagged]
             read_hap[rsel] = hap[tagged]

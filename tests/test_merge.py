@@ -43,3 +43,18 @@ def test_merge_respects_refdist(tmp_path):
     merge_main([str(a), str(b), "-o", str(out)])
     lines = [l for l in open(out) if not l.startswith("#")]
     assert len(lines) == 2
+
+
+def test_cluster_distance_sweep(sim_dataset, tmp_path):
+    """-c sweep over the span-position linkage: one ingest, N clustering
+    passes, per-point VCF + scored summary (BASELINE config 2 path)."""
+    from duet_tpu.tools.sweep import run_sweep
+
+    out, cfg, truth = sim_dataset
+    summary = run_sweep(f"{out}/reads.bam", f"{out}/ref.fa", str(tmp_path),
+                        values=[0.2, 0.9], truth=f"{out}/truth.vcf")
+    assert summary["values"] == [0.2, 0.9]
+    assert all(n > 0 for n in summary["n_calls"])
+    assert all(0.0 <= f <= 1.0 for f in summary["calling_f1"])
+    import os
+    assert all(os.path.exists(v) for v in summary["vcfs"])
