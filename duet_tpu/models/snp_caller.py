@@ -25,6 +25,11 @@ BASES = "ACGT"
 class SnpCallConfig:
     min_af: float = 0.25          # reference -m / --snp_min_af default
     min_depth: int = 4
+    min_alt_reads: int = 3        # binomial-error floor: with per-base error
+                                  # ~2% an AF cut alone admits 2-error-read
+                                  # false hets at low coverage (hundreds per
+                                  # Mb at 8-10x), poisoning phasing evidence;
+                                  # 3+ reads makes that P(X>=3|n=10) ~ 4e-5
     hom_af: float = 0.75          # alt fraction above which a site is hom-alt
     min_base_qual: int = 10
     min_mapq: int = 10
@@ -141,7 +146,7 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
     is_site = (
         (depth >= cfg.min_depth)
         & (alt_count * af_den >= depth * af_num)
-        & (alt_count >= 2)
+        & (alt_count >= cfg.min_alt_reads)
         & (ref_codes < 4)
         & (alt_code != ref_safe)
     )

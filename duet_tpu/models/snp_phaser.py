@@ -462,9 +462,16 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
         from duet_tpu.ops.sparse_power import power_refine_device as refine
     else:
         refine = _power_refine
+    # alternate majority refinement and suffix-flip correction to a fixed
+    # point: a correction exposes new majority flips and vice versa (one
+    # round leaves fixable switch errors behind at low coverage)
     phase = refine(am, phase, block_id, sweeps)
-    phase = _switch_correct(am, phase, block_id)
-    phase = refine(am, phase, block_id, sweeps)
+    for _ in range(4):
+        corrected = _switch_correct(am, phase, block_id)
+        changed = bool(np.any(corrected != phase))
+        phase = refine(am, corrected, block_id, sweeps)
+        if not changed:
+            break
     if use_device:
         read_hap, read_ps, read_pc = _haplotag_device(am, phase, block_id, block_ps)
     else:

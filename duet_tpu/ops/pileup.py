@@ -34,7 +34,8 @@ def pileup_counts(positions, bases, quals, length: int, min_base_qual):
 
 
 @partial(jax.jit, static_argnames=())
-def call_sites(counts, ref_codes, min_depth, af_num, af_den, hom_num, hom_den):
+def call_sites(counts, ref_codes, min_depth, af_num, af_den, hom_num, hom_den,
+               min_alt=3):
     """Elementwise site calling over the count image.
 
     Returns (is_site, is_het, alt_code, depth, alt_count) — the boolean
@@ -52,7 +53,7 @@ def call_sites(counts, ref_codes, min_depth, af_num, af_den, hom_num, hom_den):
     is_site = (
         (depth >= min_depth)
         & (alt_count * af_den >= depth * af_num)
-        & (alt_count >= 2)
+        & (alt_count >= min_alt)
         & (ref_codes < 4)
         & (alt_code != ref_safe)
     )
