@@ -274,6 +274,94 @@ def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     return phase
 
 
+def _junction_evidence(am: AlleleMatrix, phase: np.ndarray,
+                       block_id: np.ndarray):
+    """Converged per-boundary junction evidence E_j = sum_r L_r(j)*R_r(j)
+    for every within-block boundary (the quantity _switch_correct minimizes;
+    at convergence all E_j >= 0 and small values mean the two sides are
+    barely coupled).  Returns {block: (cols_b, E)} with E[i] the evidence
+    for the boundary BEFORE local site i+1."""
+    out = {}
+    obs_block = block_id[am.col]
+    obs_order = np.argsort(obs_block, kind="stable")
+    obs_block_sorted = obs_block[obs_order]
+    for b in np.unique(block_id[block_id >= 0]):
+        cols_b = np.flatnonzero(block_id == b)
+        m = len(cols_b)
+        if m < 2:
+            out[int(b)] = (cols_b, np.zeros(0))
+            continue
+        s0 = int(np.searchsorted(obs_block_sorted, b, "left"))
+        s1 = int(np.searchsorted(obs_block_sorted, b, "right"))
+        sel = obs_order[s0:s1]
+        if len(sel) == 0:
+            out[int(b)] = (cols_b, np.zeros(m - 1))
+            continue
+        lj = np.searchsorted(cols_b, am.col[sel])
+        rows = am.row[sel]
+        base_v = am.allele[sel].astype(np.float64) * am.weight[sel]
+        order = np.lexsort((lj, rows))
+        rows, lj, base_v = rows[order], lj[order], base_v[order]
+        read_start = np.ones(len(rows), dtype=bool)
+        read_start[1:] = rows[1:] != rows[:-1]
+        start_idx = np.flatnonzero(read_start)
+        seg = np.cumsum(read_start) - 1
+        v = base_v * phase[cols_b[lj]]
+        cum = np.cumsum(v)
+        seg_offset = np.concatenate([[0.0], cum[start_idx[1:] - 1]]) \
+            if len(start_idx) > 1 else np.zeros(1)
+        P = cum - seg_offset[seg]
+        S = np.add.reduceat(v, start_idx)
+        has_next = np.zeros(len(rows), dtype=bool)
+        has_next[:-1] = rows[1:] == rows[:-1]
+        k = np.flatnonzero(has_next)
+        val = P[k] * (S[seg[k]] - P[k])
+        D = np.zeros(m + 1)
+        np.add.at(D, lj[k] + 1, val)
+        np.add.at(D, lj[k + 1] + 1, -val)
+        out[int(b)] = (cols_b, np.cumsum(D)[1:m])
+    return out
+
+
+def _split_weak_junctions(am: AlleleMatrix, phase: np.ndarray,
+                          block_id: np.ndarray, min_e: float):
+    """Split phase-set blocks at boundaries whose converged junction
+    evidence falls below min_e — the relative orientation of the two sides
+    is then effectively unsupported (about one read-site-pair product), and
+    an undetectable switch error there would flip every downstream call in
+    the block.  WhatsHap makes the same precision/contiguity trade by
+    ending blocks at weak junctions.  Returns (block_id, block_ps)."""
+    if min_e <= 0:
+        return block_id, None
+    ev = _junction_evidence(am, phase, block_id)
+    new_block = np.zeros(am.n_sites, dtype=bool)
+    for b, (cols_b, E) in ev.items():
+        if len(E) == 0:
+            continue
+        # junction evidence scales with coverage, so the cutoff is relative
+        # to the block's own median (an outlier ~50x weaker than its peers),
+        # capped by min_e so well-supported blocks never split
+        thresh = min(min_e, float(np.median(E)) / 20.0)
+        weak = np.flatnonzero(E < thresh)
+        new_block[cols_b[weak + 1]] = True
+    if not new_block.any():
+        return block_id, None
+    covered = block_id >= 0
+    starts = np.ones(am.n_sites, dtype=bool)
+    starts[1:] = block_id[1:] != block_id[:-1]
+    bid = np.cumsum(starts | new_block) - 1
+    # renumber covered blocks compactly
+    uniq, inv = np.unique(bid[covered], return_inverse=True)
+    out_id = np.full(am.n_sites, -1, dtype=np.int32)
+    out_id[covered] = inv.astype(np.int32)
+    nblocks = len(uniq)
+    block_ps = np.zeros(nblocks, dtype=np.int64)
+    cov_idx = np.flatnonzero(covered)
+    blocks, first = np.unique(out_id[cov_idx], return_index=True)
+    block_ps[blocks] = am.site_pos[cov_idx[first]] + 1
+    return out_id, block_ps
+
+
 def _power_refine(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
                   sweeps: int = 2):
     """Alternating majority updates (read haps <-> site phases), restricted so
@@ -472,6 +560,13 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
         phase = refine(am, corrected, block_id, sweeps)
         if not changed:
             break
+    # conservative blocks: end a phase set where the converged junction
+    # evidence is too weak to pin the relative orientation of its sides
+    cfg_eff = cfg or SnpCallConfig()
+    new_id, new_ps = _split_weak_junctions(
+        am, phase, block_id, cfg_eff.min_junction_evidence)
+    if new_ps is not None:
+        block_id, block_ps = new_id, new_ps
     if use_device:
         read_hap, read_ps, read_pc = _haplotag_device(am, phase, block_id, block_ps)
     else:

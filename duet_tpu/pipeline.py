@@ -558,8 +558,24 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     st.snps = snps_all
     with StageTimer("SV PHASING"):
         stage_sv_phasing(cfg, st)
-    log.info("ALL STAGES COMPLETED IN %ss (streamed %d reads)",
-             round(time.time() - t0, 3), n_reads)
+    total = round(time.time() - t0, 4)
+    log.info("ALL STAGES COMPLETED IN %ss (streamed %d reads)", total, n_reads)
+    # observability parity with run_pipeline (SURVEY.md §5.1 gap)
+    import json
+
+    with open(os.path.join(cfg.output, "metrics.json"), "w") as f:
+        json.dump({
+            "mode": "streaming",
+            "counts": {
+                "reads": n_reads,
+                "contigs": len(snps_all),
+                "snp_sites": sum(len(s.pos) for s in snps_all.values()),
+                "sv_candidates": sum(len(v) for v in calls_all.values()),
+                "tagged_reads": sum(len(m) for m in st.read_haps.values()),
+            },
+            "total_s": total,
+            "reads_per_s": round(n_reads / max(total, 1e-9), 1),
+        }, f, indent=2)
     return os.path.join(cfg.output, "phased_sv.vcf")
 
 

@@ -83,3 +83,43 @@ def test_full_phasing_recovers_haplotypes(err):
     match = (hap[tagged] - 1) == haps[tagged]
     acc = max(match.mean(), 1 - match.mean())
     assert acc >= 0.97, f"haplotag accuracy {acc}"
+
+
+def test_weak_junction_split_knob():
+    """min_junction_evidence splits a block at a junction bridged by a
+    single thin read, leaving both sides internally phased (opt-in knob;
+    default 0 keeps one block)."""
+    import numpy as np
+
+    from duet_tpu.models import snp_phaser as sp
+
+    # 8 sites; reads densely cover sites 0-3 and 4-7; ONE weak read links
+    # site 3 to site 4 with low-weight observations
+    rows, cols, alleles, weights = [], [], [], []
+    rid = 0
+    for lo in (0, 4):
+        for _ in range(6):
+            for j in range(lo, lo + 4):
+                rows.append(rid); cols.append(j)
+                alleles.append(1 if (j % 2 == 0) else -1)
+                weights.append(30.0)
+            rid += 1
+    rows += [rid, rid]; cols += [3, 4]; alleles += [-1, 1]; weights += [4.0, 4.0]
+    rid += 1
+    am = sp.AlleleMatrix(
+        n_reads=rid, n_sites=8,
+        site_pos=np.arange(8, dtype=np.int64) * 100 + 1000,
+        row=np.array(rows, np.int32), col=np.array(cols, np.int32),
+        allele=np.array(alleles, np.int8), weight=np.array(weights, np.float32),
+        row_names=[f"r{i}" for i in range(rid)],
+    )
+    phase, block_id, block_ps = sp._initial_phase(am)
+    phase = sp._power_refine(am, phase, block_id, 2)
+    assert len(np.unique(block_id[block_id >= 0])) == 1
+    new_id, new_ps = sp._split_weak_junctions(am, phase, block_id, 2000.0)
+    assert new_ps is not None and len(new_ps) == 2
+    assert (new_id[:4] == new_id[0]).all() and (new_id[4:] == new_id[4]).all()
+    assert new_id[0] != new_id[4]
+    # default-off: no change
+    same_id, same_ps = sp._split_weak_junctions(am, phase, block_id, 0.0)
+    assert same_ps is None
