@@ -210,12 +210,20 @@ def append_phased_sv_records(phased_callset: list[dict], output_path: str) -> No
             )
 
 
-def write_vcf(path: str, header_lines: list[str], records: list[str]) -> None:
-    """Generic VCF writer; BGZF-compresses when path ends with .gz."""
+def write_vcf(path: str, header_lines: list[str], records: list[str],
+              index: bool = True) -> None:
+    """Generic VCF writer; BGZF-compresses when path ends with .gz and
+    tabix-indexes the result (artifact parity with the reference's
+    `tabix -f -p vcf` step, snp_phasing.py:25) — records must be
+    coordinate-sorted per contig, which every in-framework emitter is."""
     text = "\n".join(header_lines + records) + "\n"
     if path.endswith(".gz"):
         with BgzfWriter(path) as w:
             w.write(text.encode())
+        if index:
+            from duet_tpu.io.tabix import write_tabix_index
+
+            write_tabix_index(path)
     else:
         with open(path, "w") as f:
             f.write(text)
