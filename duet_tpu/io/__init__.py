@@ -5,7 +5,7 @@ from duet_tpu.io.bam import (
     BamRead,
     BamReader,
     BamWriter,
-    write_bai_stub,
+    write_bam_index,
 )
 from duet_tpu.io.vcf import (
     SVRecord,

@@ -276,14 +276,14 @@ class BamWriter:
         self.close()
 
 
-def write_bai_stub(bam_path: str) -> None:
-    """Emit a spec-valid (empty) .bai so the reference CLI contract — the
-    pre-flight '.bai must exist' check (utils.py:46-48) — is satisfiable
-    without samtools. Region queries in this framework stream + filter, so the
-    index content is not consulted."""
-    with BamReader(bam_path) as r:
-        n_ref = len(r.header.ref_names)
-    with open(bam_path + ".bai", "wb") as f:
-        f.write(b"BAI\x01" + struct.pack("<i", n_ref))
-        for _ in range(n_ref):
-            f.write(struct.pack("<ii", 0, 0))  # n_bin = 0, n_intv = 0
+def write_bam_index(bam_path: str) -> None:
+    """Write a real .bai for the BAM (duet_tpu.io.bai): the reference CLI
+    contract needs the file to exist (utils.py:46-48), and IGV/pysam
+    consumers of the haplotagged BAMs dereference it for random access."""
+    from duet_tpu.io.bai import write_bai
+
+    write_bai(bam_path)
+
+
+# back-compat name from when this wrote an empty spec-valid stub
+write_bai_stub = write_bam_index

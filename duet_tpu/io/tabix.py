@@ -117,43 +117,12 @@ def _vcf_interval(cols: list[bytes]) -> tuple[int, int]:
     return beg, end
 
 
-def build_tabix_index(vcf_gz_path: str) -> bytes:
-    """Uncompressed .tbi payload for a coordinate-sorted BGZF VCF."""
-    names: list[bytes] = []
-    name_id: dict[bytes, int] = {}
-    # per ref: {bin: [[vbeg, vend], ...]}, linear [ioff...]
-    bins: list[dict[int, list]] = []
-    linear: list[list[int]] = []
-
-    records = []  # (ref_id, beg, end, vbeg) — vend filled from the next line
-    eof_vo = 0
-    for vo, line in _iter_lines_with_voffsets(vcf_gz_path):
-        if records:
-            records[-1].append(vo)  # previous record ends where this starts
-        eof_vo = vo + len(line) + 1
-        if line.startswith(b"#"):
-            records.append([None])  # placeholder so vend chains stay aligned
-            continue
-        cols = line.split(b"\t")
-        chrom = cols[0]
-        rid = name_id.get(chrom)
-        if rid is None:
-            rid = name_id[chrom] = len(names)
-            names.append(chrom)
-            bins.append({})
-            linear.append([])
-        beg, end = _vcf_interval(cols)
-        records.append([(rid, beg, end, vo)])
-    if records and len(records[-1]) == 1:
-        # upper bound for the final record's chunk end: chunk ends are only
-        # compared against, never seeked to, so overshooting the block's
-        # uoffset range is harmless
-        records[-1].append(eof_vo)
-
-    for rec in records:
-        if rec[0] is None:
-            continue
-        (rid, beg, end, vbeg), vend = rec
+def binned_index(records, n_ref: int):
+    """Shared TBI/BAI accumulation: records of (ref_id, beg, end, vbeg, vend)
+    in file order -> per-ref ({bin: [[vbeg, vend], ...]}, linear ioffs)."""
+    bins: list[dict[int, list]] = [{} for _ in range(n_ref)]
+    linear: list[list[int]] = [[] for _ in range(n_ref)]
+    for rid, beg, end, vbeg, vend in records:
         b = reg2bin(beg, end)
         chunks = bins[rid].setdefault(b, [])
         if chunks and chunks[-1][1] == vbeg:
@@ -167,7 +136,6 @@ def build_tabix_index(vcf_gz_path: str) -> bytes:
         for w in range(lo, hi + 1):
             if lin[w] == 0 or vbeg < lin[w]:
                 lin[w] = vbeg
-
     # forward-fill empty linear windows (htslib convention)
     for lin in linear:
         last = 0
@@ -176,6 +144,40 @@ def build_tabix_index(vcf_gz_path: str) -> bytes:
                 lin[i] = last
             else:
                 last = v
+    return bins, linear
+
+
+def build_tabix_index(vcf_gz_path: str) -> bytes:
+    """Uncompressed .tbi payload for a coordinate-sorted BGZF VCF."""
+    names: list[bytes] = []
+    name_id: dict[bytes, int] = {}
+
+    records = []  # (ref_id, beg, end, vbeg) — vend filled from the next line
+    eof_vo = 0
+    for vo, line in _iter_lines_with_voffsets(vcf_gz_path):
+        if records:
+            records[-1].append(vo)  # previous record ends where this starts
+        # upper bound for the FINAL record's chunk end: chunk ends are only
+        # compared against, never seeked to, so overshooting is harmless
+        eof_vo = vo + len(line) + 1
+        if line.startswith(b"#"):
+            records.append([None])  # placeholder so vend chains stay aligned
+            continue
+        cols = line.split(b"\t")
+        chrom = cols[0]
+        rid = name_id.get(chrom)
+        if rid is None:
+            rid = name_id[chrom] = len(names)
+            names.append(chrom)
+        beg, end = _vcf_interval(cols)
+        records.append([(rid, beg, end, vo)])
+    if records and len(records[-1]) == 1:
+        records[-1].append(eof_vo)
+
+    bins, linear = binned_index(
+        (rec[0] + (rec[1],) for rec in records if rec[0] is not None),
+        len(names),
+    )
 
     concat = b"\x00".join(names) + b"\x00" if names else b""
     out = bytearray()

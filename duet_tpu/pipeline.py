@@ -320,7 +320,7 @@ def _write_haplotag_bam(path: str, cr, haps: dict[str, tuple[int, int, int]],
     (snp_phasing.py:27-29), for IGV/downstream consumers."""
     import numpy as np
 
-    from duet_tpu.io.bam import BamHeader, BamRead, BamWriter, write_bai_stub
+    from duet_tpu.io.bam import BamHeader, BamRead, BamWriter, write_bam_index
 
     length = contig_lengths.get(cr.contig, 0)
     header = BamHeader(
@@ -344,7 +344,7 @@ def _write_haplotag_bam(path: str, cr, haps: dict[str, tuple[int, int, int]],
                 cigar, cr.seq[cr.seq_off[i]:cr.seq_off[i + 1]],
                 cr.qual[cr.seq_off[i]:cr.seq_off[i + 1]], tags,
             ))
-    write_bai_stub(path)
+    write_bam_index(path)
 
 
 def read_haplotag_table(path: str) -> dict[str, tuple[int, int, int]]:

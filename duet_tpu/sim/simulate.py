@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from duet_tpu.io.bam import BamHeader, BamRead, BamWriter, write_bai_stub
+from duet_tpu.io.bam import BamHeader, BamRead, BamWriter, write_bam_index
 from duet_tpu.io.fasta import decode_bases, write_fasta
 from duet_tpu.io.vcf import write_vcf
 
@@ -417,7 +417,7 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
     with BamWriter(bam_path, header) as w:
         for _, _, rec in all_records:
             w.write(rec)
-    write_bai_stub(bam_path)
+    write_bam_index(bam_path)
 
     _write_truth_vcf(os.path.join(out_dir, "truth.vcf"), cfg, truth)
     return truth
