@@ -132,7 +132,8 @@ def write_bai(bam_path: str, bai_path: str | None = None) -> str:
 
 def read_bai(bai_path: str):
     """Parse a .bai into (bins_per_ref, linear_per_ref, n_no_coor)."""
-    data = open(bai_path, "rb").read()
+    with open(bai_path, "rb") as f:
+        data = f.read()
     if data[:4] != BAI_MAGIC:
         raise ValueError("not a BAI index")
     (n_ref,) = struct.unpack_from("<i", data, 4)
@@ -185,7 +186,7 @@ def bam_query(bam_path: str, contig: str, beg: int, end: int,
     start = min(c[0] for c in chunks)
     fh = open(bam_path, "rb")
     fh.seek(start >> 16)
-    rr = BgzfReader(fh)  # lazy: decoding starts at the sought block
+    rr = BgzfReader(fh, owns=True)  # lazy: decoding starts at sought block
     rr.read(start & 0xFFFF)
     out = []
     while True:
@@ -195,11 +196,11 @@ def bam_query(bam_path: str, contig: str, beg: int, end: int,
         (block_size,) = struct.unpack("<i", raw)
         body = rr.read(block_size)
         r_rid, r_pos, r_end = _record_span(body)
-        if r_rid != rid or r_pos >= end:
-            if out or r_rid > rid or (r_rid == rid and r_pos >= end):
-                break
-            continue
-        if r_end > beg:
+        # coordinate-sorted: stop once the scan is past the target contig
+        # or window (unmapped rid<0 records trail every mapped one)
+        if r_rid > rid or r_rid < 0 or (r_rid == rid and r_pos >= end):
+            break
+        if r_rid == rid and r_end > beg:
             out.append(BamReader._parse_record(body))
     rr.close()
     return out

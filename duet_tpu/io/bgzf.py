@@ -101,13 +101,16 @@ class BgzfWriter:
 class BgzfReader(io.RawIOBase):
     """Streaming BGZF decompressor exposing a file-like read() interface."""
 
-    def __init__(self, path_or_file):
+    def __init__(self, path_or_file, owns: bool | None = None):
+        """owns: close the underlying handle on close(); defaults to True
+        for paths and False for caller-provided handles — pass True when
+        handing over a handle you opened just for this reader."""
         if isinstance(path_or_file, (str, bytes)):
             self._fh = open(path_or_file, "rb")
-            self._owns = True
+            self._owns = True if owns is None else owns
         else:
             self._fh = path_or_file
-            self._owns = False
+            self._owns = False if owns is None else owns
         self._block = b""
         self._pos = 0
         self._eof = False

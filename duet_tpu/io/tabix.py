@@ -253,7 +253,7 @@ def _read_from_voffset(path: str, voffset: int):
 
     fh = open(path, "rb")
     fh.seek(voffset >> 16)
-    r = BgzfReader(fh)
+    r = BgzfReader(fh, owns=True)  # closing the wrapper closes the handle
     r.read(voffset & 0xFFFF)  # skip into the block
     return _io.TextIOWrapper(r)
 
@@ -278,15 +278,17 @@ def query(vcf_gz_path: str, chrom: str, beg: int, end: int,
     chunks.sort()
     out = []
     start = chunks[0][0]
+    seen_chrom = False
     f = _read_from_voffset(vcf_gz_path, start)
     for line in f:
         if line.startswith("#"):
             continue
         cols = line.rstrip("\n").split("\t")
         if cols[0] != chrom:
-            if out:
-                break
+            if seen_chrom:
+                break  # records are grouped per contig: past the target
             continue
+        seen_chrom = True
         r_beg, r_end = _vcf_interval([c.encode() for c in cols])
         if r_beg >= end:
             break

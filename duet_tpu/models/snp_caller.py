@@ -33,18 +33,6 @@ class SnpCallConfig:
     hom_af: float = 0.75          # alt fraction above which a site is hom-alt
     min_base_qual: int = 10
     min_mapq: int = 10
-    min_junction_evidence: float = 0.0  # phaser: end a phase block where the
-                                  # converged junction evidence E_j (sum of
-                                  # spanning reads' left*right agreement
-                                  # products; one confident read with one
-                                  # site per side ~ 900) is weaker than
-                                  # min(this, block median E / 20).
-                                  # 0 = off (default): splitting raises
-                                  # phasing precision at weak junctions but
-                                  # costs calling recall through the
-                                  # two-phase-set decision regime — a knob
-                                  # for precision-critical runs, not the
-                                  # default trade
 
 
 @dataclass

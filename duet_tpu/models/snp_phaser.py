@@ -211,28 +211,16 @@ def _initial_phase(am: AlleleMatrix):
     return phase, block_id, block_ps
 
 
-def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
-                    max_flips: int = 50) -> np.ndarray:
-    """Repair switch errors: whole-suffix phase flips inside a block.
-
-    Site-wise majority refinement cannot fix a run of sites that is
-    collectively flipped (each side outvotes the boundary-spanning reads
-    locally), so evaluate every possible switch point directly: for
-    boundary j let E_j = sum over reads of L_r(j) * R_r(j), where L/R are
-    the read's weighted agreement with the current phases left/right of j.
-    A flipped suffix makes spanning reads' L and R disagree in sign, so
-    E_j < 0; flipping the suffix at argmin E_j raises the global objective
-    sum_r (L_r + R_r)^2 by -4*E_j > 0, hence the loop terminates.  All E_j
-    are computed in O(nnz) per round with an event-driven prefix scan."""
-    phase = phase.copy()
-    # group observations by their site's block ONCE
+def _block_obs_groups(am: AlleleMatrix, block_id: np.ndarray):
+    """Per-block observation tables for the boundary-evidence machinery:
+    yields (b, cols_b, rows, lj, base_v, start_idx, seg) with observations
+    sorted by (read, local site) and read segments delimited."""
     obs_block = block_id[am.col]
     obs_order = np.argsort(obs_block, kind="stable")
     obs_block_sorted = obs_block[obs_order]
     for b in np.unique(block_id[block_id >= 0]):
         cols_b = np.flatnonzero(block_id == b)
-        m = len(cols_b)
-        if m < 2:
+        if len(cols_b) < 2:
             continue
         s0 = int(np.searchsorted(obs_block_sorted, b, "left"))
         s1 = int(np.searchsorted(obs_block_sorted, b, "right"))
@@ -248,23 +236,48 @@ def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         read_start[1:] = rows[1:] != rows[:-1]
         start_idx = np.flatnonzero(read_start)
         seg = np.cumsum(read_start) - 1  # compact read index
+        yield int(b), cols_b, rows, lj, base_v, start_idx, seg
 
+
+def _boundary_E(phase, cols_b, rows, lj, base_v, start_idx, seg):
+    """E_j = sum over reads of L_r(j)*R_r(j) for every boundary of one
+    block under the given phase, via an O(nnz) event-driven prefix scan;
+    E[j-1] is the evidence for the boundary before local site j."""
+    m = len(cols_b)
+    v = base_v * phase[cols_b[lj]]
+    cum = np.cumsum(v)
+    seg_offset = np.concatenate([[0.0], cum[start_idx[1:] - 1]]) \
+        if len(start_idx) > 1 else np.zeros(1)
+    P = cum - seg_offset[seg]          # prefix INCLUDING current entry
+    S = np.add.reduceat(v, start_idx)  # per-read total
+    # entries k with a successor in the same read span boundaries
+    # (lj_k, lj_{k+1}]; contribution P_k * (S - P_k) on that range
+    has_next = np.zeros(len(rows), dtype=bool)
+    has_next[:-1] = rows[1:] == rows[:-1]
+    k = np.flatnonzero(has_next)
+    val = P[k] * (S[seg[k]] - P[k])
+    D = np.zeros(m + 1)
+    np.add.at(D, lj[k] + 1, val)
+    np.add.at(D, lj[k + 1] + 1, -val)
+    return np.cumsum(D)[1:m]
+
+
+def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
+                    max_flips: int = 50) -> np.ndarray:
+    """Repair switch errors: whole-suffix phase flips inside a block.
+
+    Site-wise majority refinement cannot fix a run of sites that is
+    collectively flipped (each side outvotes the boundary-spanning reads
+    locally), so evaluate every possible switch point directly via
+    _boundary_E: a flipped suffix makes spanning reads' L and R disagree in
+    sign, so E_j < 0; flipping the suffix at argmin E_j raises the global
+    objective sum_r (L_r + R_r)^2 by -4*E_j > 0, hence the loop
+    terminates."""
+    phase = phase.copy()
+    for b, cols_b, rows, lj, base_v, start_idx, seg in \
+            _block_obs_groups(am, block_id):
         for _ in range(max_flips):
-            v = base_v * phase[cols_b[lj]]
-            cum = np.cumsum(v)
-            seg_offset = np.concatenate([[0.0], cum[start_idx[1:] - 1]]) if len(start_idx) > 1 else np.zeros(1)
-            P = cum - seg_offset[seg]          # prefix INCLUDING current entry
-            S = np.add.reduceat(v, start_idx)  # per-read total
-            # entries k with a successor in the same read span boundaries
-            # (lj_k, lj_{k+1}]; contribution P_k * (S - P_k) on that range
-            has_next = np.zeros(len(rows), dtype=bool)
-            has_next[:-1] = rows[1:] == rows[:-1]
-            k = np.flatnonzero(has_next)
-            val = P[k] * (S[seg[k]] - P[k])
-            D = np.zeros(m + 1)
-            np.add.at(D, lj[k] + 1, val)
-            np.add.at(D, lj[k + 1] + 1, -val)
-            E = np.cumsum(D)[1:m]  # E[j-1] = evidence for boundary before local site j
+            E = _boundary_E(phase, cols_b, rows, lj, base_v, start_idx, seg)
             if len(E) == 0:
                 break
             jmin = int(np.argmin(E))
@@ -276,51 +289,15 @@ def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 
 def _junction_evidence(am: AlleleMatrix, phase: np.ndarray,
                        block_id: np.ndarray):
-    """Converged per-boundary junction evidence E_j = sum_r L_r(j)*R_r(j)
-    for every within-block boundary (the quantity _switch_correct minimizes;
-    at convergence all E_j >= 0 and small values mean the two sides are
-    barely coupled).  Returns {block: (cols_b, E)} with E[i] the evidence
-    for the boundary BEFORE local site i+1."""
-    out = {}
-    obs_block = block_id[am.col]
-    obs_order = np.argsort(obs_block, kind="stable")
-    obs_block_sorted = obs_block[obs_order]
-    for b in np.unique(block_id[block_id >= 0]):
-        cols_b = np.flatnonzero(block_id == b)
-        m = len(cols_b)
-        if m < 2:
-            out[int(b)] = (cols_b, np.zeros(0))
-            continue
-        s0 = int(np.searchsorted(obs_block_sorted, b, "left"))
-        s1 = int(np.searchsorted(obs_block_sorted, b, "right"))
-        sel = obs_order[s0:s1]
-        if len(sel) == 0:
-            out[int(b)] = (cols_b, np.zeros(m - 1))
-            continue
-        lj = np.searchsorted(cols_b, am.col[sel])
-        rows = am.row[sel]
-        base_v = am.allele[sel].astype(np.float64) * am.weight[sel]
-        order = np.lexsort((lj, rows))
-        rows, lj, base_v = rows[order], lj[order], base_v[order]
-        read_start = np.ones(len(rows), dtype=bool)
-        read_start[1:] = rows[1:] != rows[:-1]
-        start_idx = np.flatnonzero(read_start)
-        seg = np.cumsum(read_start) - 1
-        v = base_v * phase[cols_b[lj]]
-        cum = np.cumsum(v)
-        seg_offset = np.concatenate([[0.0], cum[start_idx[1:] - 1]]) \
-            if len(start_idx) > 1 else np.zeros(1)
-        P = cum - seg_offset[seg]
-        S = np.add.reduceat(v, start_idx)
-        has_next = np.zeros(len(rows), dtype=bool)
-        has_next[:-1] = rows[1:] == rows[:-1]
-        k = np.flatnonzero(has_next)
-        val = P[k] * (S[seg[k]] - P[k])
-        D = np.zeros(m + 1)
-        np.add.at(D, lj[k] + 1, val)
-        np.add.at(D, lj[k + 1] + 1, -val)
-        out[int(b)] = (cols_b, np.cumsum(D)[1:m])
-    return out
+    """Converged per-boundary junction evidence (the exact quantity
+    _switch_correct minimizes; at convergence all E_j >= 0 and small values
+    mean the two sides are barely coupled).  Returns {block: (cols_b, E)}."""
+    return {
+        b: (cols_b, _boundary_E(phase, cols_b, rows, lj, base_v,
+                                start_idx, seg))
+        for b, cols_b, rows, lj, base_v, start_idx, seg in
+        _block_obs_groups(am, block_id)
+    }
 
 
 def _split_weak_junctions(am: AlleleMatrix, phase: np.ndarray,
@@ -346,18 +323,20 @@ def _split_weak_junctions(am: AlleleMatrix, phase: np.ndarray,
         new_block[cols_b[weak + 1]] = True
     if not new_block.any():
         return block_id, None
-    covered = block_id >= 0
-    starts = np.ones(am.n_sites, dtype=bool)
-    starts[1:] = block_id[1:] != block_id[:-1]
-    bid = np.cumsum(starts | new_block) - 1
-    # renumber covered blocks compactly
-    uniq, inv = np.unique(bid[covered], return_inverse=True)
+    # re-number over COVERED sites only: interior uncovered (-1) sites are
+    # normal inside a block (a read may skip a site) and must not introduce
+    # spurious block starts on either side
+    cov_idx = np.flatnonzero(block_id >= 0)
+    prev_blk = block_id[cov_idx]
+    starts = np.ones(len(cov_idx), dtype=bool)
+    starts[1:] = prev_blk[1:] != prev_blk[:-1]
+    starts |= new_block[cov_idx]
+    bid_cov = (np.cumsum(starts) - 1).astype(np.int32)
     out_id = np.full(am.n_sites, -1, dtype=np.int32)
-    out_id[covered] = inv.astype(np.int32)
-    nblocks = len(uniq)
+    out_id[cov_idx] = bid_cov
+    nblocks = int(bid_cov[-1]) + 1 if len(bid_cov) else 0
     block_ps = np.zeros(nblocks, dtype=np.int64)
-    cov_idx = np.flatnonzero(covered)
-    blocks, first = np.unique(out_id[cov_idx], return_index=True)
+    blocks, first = np.unique(bid_cov, return_index=True)
     block_ps[blocks] = am.site_pos[cov_idx[first]] + 1
     return out_id, block_ps
 
@@ -451,7 +430,9 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 
     from duet_tpu.ops.haplotag import phase_and_tag
 
-    use_pallas = jax.default_backend() != "cpu"
+    # Pallas/Mosaic kernels are TPU-only ("axon" is the tunneled TPU
+    # platform); any other accelerator keeps the plain-XLA path
+    use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
         from duet_tpu.ops.pallas_haplotag import haplotag_score_pallas
 
@@ -543,7 +524,8 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 
 def phase_contig(cr: ContigReads, snps: ContigSnps,
                  cfg: SnpCallConfig | None = None, sweeps: int = 2,
-                 use_device: bool = False, obs=None) -> PhaseResult:
+                 use_device: bool = False, obs=None,
+                 min_junction_evidence: float = 0.0) -> PhaseResult:
     am = build_allele_matrix(cr, snps, cfg, obs=obs)
     phase, block_id, block_ps = _initial_phase(am)
     if use_device:
@@ -560,11 +542,12 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
         phase = refine(am, corrected, block_id, sweeps)
         if not changed:
             break
-    # conservative blocks: end a phase set where the converged junction
-    # evidence is too weak to pin the relative orientation of its sides
-    cfg_eff = cfg or SnpCallConfig()
+    # conservative blocks (opt-in): end a phase set where the converged
+    # junction evidence is too weak to pin the relative orientation of its
+    # sides — raises phasing precision at weak junctions but costs calling
+    # recall through the two-phase-set decision regime
     new_id, new_ps = _split_weak_junctions(
-        am, phase, block_id, cfg_eff.min_junction_evidence)
+        am, phase, block_id, min_junction_evidence)
     if new_ps is not None:
         block_id, block_ps = new_id, new_ps
     if use_device:

@@ -35,7 +35,7 @@ def pileup_counts(positions, bases, quals, length: int, min_base_qual):
 
 @partial(jax.jit, static_argnames=())
 def call_sites(counts, ref_codes, min_depth, af_num, af_den, hom_num, hom_den,
-               min_alt=3):
+               min_alt):
     """Elementwise site calling over the count image.
 
     Returns (is_site, is_het, alt_code, depth, alt_count) — the boolean

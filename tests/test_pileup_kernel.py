@@ -43,6 +43,7 @@ def test_site_calling_matches_host():
     is_site, is_het, alt_code, depth, alt_count = call_sites(
         np.asarray(counts, np.int32), ref_codes.astype(np.int32),
         cfg.min_depth, 1, 4, 3, 4,  # 0.25 and 0.75 as rationals
+        cfg.min_alt_reads,          # threaded, not duplicated, config
     )
     pos_dev = np.flatnonzero(np.asarray(is_site))
     np.testing.assert_array_equal(pos_dev, host.pos)

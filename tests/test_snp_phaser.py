@@ -123,3 +123,47 @@ def test_weak_junction_split_knob():
     # default-off: no change
     same_id, same_ps = sp._split_weak_junctions(am, phase, block_id, 0.0)
     assert same_ps is None
+
+
+def test_split_preserves_gap_containing_blocks():
+    """Interior uncovered (-1) sites are normal inside a block; splitting at
+    a weak junction in ANOTHER block must not fragment them (regression:
+    raw block_id transitions b -> -1 -> b counted as two starts)."""
+    import numpy as np
+
+    from duet_tpu.models import snp_phaser as sp
+
+    # block 0: sites 0,1,3,4 covered (site 2 uncovered), strongly linked;
+    # block 1: sites 5..12 with ONE thin single-read junction at 8|9
+    rows, cols, alleles, weights = [], [], [], []
+    rid = 0
+    for _ in range(6):                      # block 0: reads span 0,1,3,4
+        for j in (0, 1, 3, 4):
+            rows.append(rid); cols.append(j)
+            alleles.append(1 if j % 2 == 0 else -1); weights.append(30.0)
+        rid += 1
+    for lo in (5, 9):                       # block 1 halves
+        for _ in range(6):
+            for j in range(lo, lo + 4):
+                rows.append(rid); cols.append(j)
+                alleles.append(1 if j % 2 == 0 else -1); weights.append(30.0)
+            rid += 1
+    rows += [rid, rid]; cols += [8, 9]; alleles += [1, -1]; weights += [4.0, 4.0]
+    rid += 1
+    site_pos = np.arange(13, dtype=np.int64) * 100 + 1000
+    am = sp.AlleleMatrix(rid, 13, site_pos,
+                         np.array(rows, np.int32), np.array(cols, np.int32),
+                         np.array(alleles, np.int8),
+                         np.array(weights, np.float32),
+                         row_names=[f"r{i}" for i in range(rid)])
+    phase, block_id, _ = sp._initial_phase(am)
+    phase = sp._power_refine(am, phase, block_id, 2)
+    # block 0 contains the uncovered site 2; ensure two blocks exist
+    assert block_id[2] == -1 or block_id[0] == block_id[4]
+    new_id, new_ps = sp._split_weak_junctions(am, phase, block_id, 2000.0)
+    assert new_ps is not None
+    # block 0 (sites 0,1,3,4) stays ONE block despite its interior gap
+    assert new_id[0] == new_id[1] == new_id[3] == new_id[4]
+    # block 1 split exactly at the weak junction
+    assert new_id[5] == new_id[8] and new_id[9] == new_id[12]
+    assert new_id[8] != new_id[9]
