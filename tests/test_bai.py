@@ -51,3 +51,20 @@ def test_rewritten_index_identical(indexed_bam, tmp_path):
     out = tmp_path / "again.bai"
     write_bai(indexed_bam, str(out))
     assert out.read_bytes() == open(indexed_bam + ".bai", "rb").read()
+
+
+def test_view_tool(indexed_bam, capsys):
+    """samtools-view-like region CLI over the in-framework indexes."""
+    from duet_tpu.tools.view import main, view_bam
+
+    import io
+    sink = io.StringIO()
+    n = view_bam(indexed_bam, "chrA:1-150000", out=sink)
+    lines = [ln for ln in sink.getvalue().splitlines() if ln]
+    assert n == len(lines) and n > 0
+    cols = lines[0].split("\t")
+    assert len(cols) >= 11 and cols[2] == "chrA" and cols[5] != "*"
+    # count mode via the CLI entry
+    assert main([indexed_bam, "chrA:1-1000", "--count"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out.isdigit()
