@@ -240,9 +240,21 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
     sv_cfg = cfg.sv_cfg()
     from duet_tpu.models.sv_caller import call_bnds, call_contig_with_evidence
 
-    calls, evidence = {}, {}
-    for contig, cr in st.store.contigs.items():
-        calls[contig], evidence[contig] = call_contig_with_evidence(cr, sv_cfg)
+    work = list(st.store.contigs.items())
+    if cfg.threads > 1 and len(work) > 1:
+        # contig fan-out like the SNP stages (-t semantics; the reference
+        # forwards -t to its external callers, sv_calling.py:18)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(cfg.threads) as ex:
+            results = list(ex.map(
+                lambda kv: (kv[0], call_contig_with_evidence(kv[1], sv_cfg)),
+                work))
+    else:
+        results = [(c, call_contig_with_evidence(cr, sv_cfg))
+                   for c, cr in work]
+    calls = {c: r[0] for c, r in results}
+    evidence = {c: r[1] for c, r in results}
     pid, nproc = _proc(cfg)
     if nproc > 1:
         # per-contig calls + breakend evidence travel as a part-file:
