@@ -14,3 +14,5 @@ from duet_tpu.io.vcf import (
     parse_sv_vcf,
     read_vcf_lines,
 )
+from duet_tpu.io.bai import bam_query, write_bai
+from duet_tpu.io.tabix import query as tabix_query, write_tabix_index
