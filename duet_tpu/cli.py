@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="genotype and phase breakend (BND) junctions through "
                         "the decision stage too (the reference filters them "
                         "out with SVLEN<min_size)")
+    p.add_argument("--snp-model", default="counts", choices=["counts", "nn"],
+                   help="SNP-calling model: exact-rational counting rule "
+                        "(default) or the neural pileup caller "
+                        "(models/nn_snp.py — the MXU analogue of Clair3's "
+                        "pileup network)")
     p.add_argument("--haplotag-bam", action="store_true",
                    help="also write per-contig haplotagged BAMs with "
                         "HP/PC/PS tags (reference artifact parity)")
@@ -91,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         use_device_kernel=not args.host_kernel,
         haplotag_bam=args.haplotag_bam,
+        snp_model=args.snp_model,
         phase_bnd=args.phase_bnd,
         coordinator=args.coordinator,
         num_processes=args.num_processes,

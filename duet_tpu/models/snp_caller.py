@@ -33,6 +33,9 @@ class SnpCallConfig:
     hom_af: float = 0.75          # alt fraction above which a site is hom-alt
     min_base_qual: int = 10
     min_mapq: int = 10
+    model: str = "counts"         # "counts" (exact-rational rule) | "nn"
+                                  # (neural pileup caller, models/nn_snp.py —
+                                  # the MXU analogue of Clair3's pileup net)
 
 
 @dataclass
@@ -162,6 +165,16 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
     )
 
 
+def call_snps_any(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
+                  cfg: SnpCallConfig) -> ContigSnps:
+    """Dispatch on cfg.model: the counting rule or the neural caller."""
+    if cfg.model == "nn":
+        from duet_tpu.models.nn_snp import nn_call_snps
+
+        return nn_call_snps(contig, counts, ref_codes)
+    return call_snps(contig, counts, ref_codes, cfg)
+
+
 def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
                         cfg: SnpCallConfig | None = None, threads: int = 1):
     """ref_codes: per-contig uint8 base-code arrays (FastaFile.fetch_codes).
@@ -180,7 +193,7 @@ def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
         obs = pileup_observations(cr, cfg)
         counts = count_alleles(obs[0], obs[1], obs[2], len(codes),
                                cfg.min_base_qual)
-        snps = call_snps(contig, counts, codes, cfg)
+        snps = call_snps_any(contig, counts, codes, cfg)
         site_obs = filter_observations_to_sites(*obs, snps.pos)
         return contig, snps, site_obs
 

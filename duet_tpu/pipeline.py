@@ -76,8 +76,12 @@ class PipelineConfig:
     process_id: int | None = None
     coordinator: str | None = None
 
+    snp_model: str = "counts"           # "counts" | "nn" (neural pileup
+                                        # caller — Clair3's role, on the MXU)
+
     def snp_cfg(self) -> SnpCallConfig:
-        return SnpCallConfig(min_af=self.min_allele_frequency)
+        return SnpCallConfig(min_af=self.min_allele_frequency,
+                             model=self.snp_model)
 
     def sv_cfg(self) -> SvCallConfig:
         return SvCallConfig(
@@ -533,7 +537,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
                 else cr.contig
             codes = st.ref.fetch_codes(fa_name)
             from duet_tpu.models.snp_caller import (
-                call_snps,
+                call_snps_any,
                 count_alleles,
                 filter_observations_to_sites,
             )
@@ -541,7 +545,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             obs = pileup_observations_for(cr, cfg)
             counts = count_alleles(obs[0], obs[1], obs[2], len(codes),
                                    cfg.snp_cfg().min_base_qual)
-            snps = call_snps(cr.contig, counts, codes, cfg.snp_cfg())
+            snps = call_snps_any(cr.contig, counts, codes, cfg.snp_cfg())
             site_obs = filter_observations_to_sites(*obs, snps.pos)
             del obs
             snps_all[cr.contig] = snps
