@@ -156,23 +156,30 @@ def _segment_table(cr: ContigReads, cfg: SvCallConfig):
     Query offsets come from leading/trailing clips (S or H) and are
     normalized to FORWARD-read coordinates: a minus-strand alignment stores
     its sequence reference-forward, so its stored leading clip counts from
-    the read's tail (fwd_qstart = L - stored_lead - aligned_len)."""
+    the read's tail (fwd_qstart = L - stored_lead - aligned_len).
+
+    Vectorized over the flat cigar arrays (no per-read Python walk): first/
+    last op per read come straight from cigar_off, and per-read aligned
+    query length is a bincount segment-sum."""
     ops = cr.cigar_ops
     lens = cr.cigar_lens.astype(np.int64)
+    n_ops = len(ops)
     lead = np.zeros(cr.n, dtype=np.int64)
     trail = np.zeros(cr.n, dtype=np.int64)
     qaln = np.zeros(cr.n, dtype=np.int64)
-    for i in range(cr.n):
-        o = ops[cr.cigar_off[i]:cr.cigar_off[i + 1]]
-        ln = lens[cr.cigar_off[i]:cr.cigar_off[i + 1]]
-        if len(o) == 0:
-            continue
-        if o[0] in (4, 5):
-            lead[i] = ln[0]
-        if len(o) > 1 and o[-1] in (4, 5):
-            trail[i] = ln[-1]
-        q_ops = (o == 0) | (o == 1) | (o == 7) | (o == 8)
-        qaln[i] = ln[q_ops].sum()
+    if n_ops:
+        counts = np.diff(cr.cigar_off).astype(np.int64)
+        has = counts > 0
+        first = np.minimum(cr.cigar_off[:-1], n_ops - 1)
+        last = np.maximum(cr.cigar_off[1:] - 1, 0)
+        f_clip = has & ((ops[first] == 4) | (ops[first] == 5))
+        lead[f_clip] = lens[first[f_clip]]
+        t_clip = (counts > 1) & ((ops[last] == 4) | (ops[last] == 5))
+        trail[t_clip] = lens[last[t_clip]]
+        op_read = np.repeat(np.arange(cr.n, dtype=np.int64), counts)
+        q_ops = (ops == 0) | (ops == 1) | (ops == 7) | (ops == 8)
+        qaln = np.bincount(op_read, weights=np.where(q_ops, lens, 0),
+                           minlength=cr.n).astype(np.int64)
     L = lead + qaln + trail
     minus = cr.strand == 1
     fwd_qstart = np.where(minus, trail, lead)
@@ -219,78 +226,110 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig,
             (ref_gap - q_gap >= sig_min -> DEL at the gap start;
             q_gap - ref_gap >= sig_min -> INS).  These merge into the same
             clusters as the CIGAR-run signatures of other reads.
+
+    Fully vectorized over name groups: rows are lexsorted by (read-name
+    group, forward-query offset), INV candidates are a mask over rows, and
+    the DUP/DEL/INS geometry is computed on the consecutive-row pair arrays
+    — no per-read Python loop (per-cluster stats downstream are invariant
+    to signature emission order, so the grouped-by-type layout here equals
+    the old interleaved per-read emission).
     """
-    by_name: dict[str, list[int]] = {}
-    for i, name in enumerate(cr.names):
-        by_name.setdefault(name, []).append(i)
     tables = tables or contig_tables(cr, cfg)
     fwd_qs, fwd_qe = tables.fwd_qs, tables.fwd_qe
+    empty = Signatures(np.zeros(0, np.int8), np.zeros(0, np.int64),
+                       np.zeros(0, np.int64), np.zeros(0, np.int32))
+    if cr.n == 0:
+        return empty
 
-    t_parts, p_parts, l_parts, r_parts = [], [], [], []
-    for name, rows in by_name.items():
-        if len(rows) < 2:
-            continue
-        if any(cr.mapq[i] < cfg.min_mapq for i in rows):
-            continue
-        rows = sorted(rows, key=lambda i: int(fwd_qs[i]))
-        strands = np.array([cr.strand[i] for i in rows])
-        # majority strand; tie -> primary's strand
-        if (strands == 1).sum() * 2 == len(rows):
-            prim = [i for i in rows if not cr.supp[i]]
-            dominant = int(cr.strand[prim[0]]) if prim else 0
-        else:
-            dominant = int(round((strands == 1).mean()))
-        anchor = rows[0]
-        for i in rows:
-            if int(cr.strand[i]) != dominant:
-                span = int(cr.ends[i] - cr.starts[i])
-                if span >= cfg.sig_min:
-                    t_parts.append(SVTYPE_INV)
-                    p_parts.append(int(cr.starts[i]))
-                    l_parts.append(span)
-                    r_parts.append(anchor)
-        for a, b in zip(rows[:-1], rows[1:]):
-            if cr.strand[a] != cr.strand[b]:
-                continue
-            ov_lo = int(max(cr.starts[a], cr.starts[b]))
-            ov_hi = int(min(cr.ends[a], cr.ends[b]))
-            dup_len = ov_hi - ov_lo
-            if dup_len >= cfg.sig_min:
-                t_parts.append(SVTYPE_DUP)
-                p_parts.append(ov_lo)
-                l_parts.append(dup_len)
-                r_parts.append(anchor)
-                continue
-            # colinear split: minus-strand pairs walk the reference
-            # backwards in query order, so the gap orientation flips
-            if cr.strand[a] == 0:
-                ref_gap = int(cr.starts[b] - cr.ends[a])
-                gap_pos = int(cr.ends[a])
-            else:
-                ref_gap = int(cr.starts[a] - cr.ends[b])
-                gap_pos = int(cr.ends[b])
-            q_gap = int(fwd_qs[b] - fwd_qe[a])
-            if q_gap < 0:
-                continue
-            if ref_gap >= 0 and ref_gap - q_gap >= cfg.sig_min:
-                t_parts.append(SVTYPE_DEL)
-                p_parts.append(gap_pos)
-                l_parts.append(ref_gap - q_gap)
-                r_parts.append(anchor)
-            elif q_gap - ref_gap >= cfg.sig_min:
-                # ref_gap may be slightly NEGATIVE here (microhomology at an
-                # insertion breakpoint, bounded by -sig_min since larger
-                # overlaps took the DUP branch) — the query surplus is still
-                # the inserted length
-                t_parts.append(SVTYPE_INS)
-                p_parts.append(min(gap_pos, gap_pos + ref_gap))
-                l_parts.append(q_gap - ref_gap)
-                r_parts.append(anchor)
+    _, gid = np.unique(np.asarray(cr.names), return_inverse=True)
+    G = int(gid.max()) + 1
+    sizes = np.bincount(gid, minlength=G)
+    gmin_mapq = np.full(G, 255, dtype=np.int64)
+    np.minimum.at(gmin_mapq, gid, cr.mapq.astype(np.int64))
+    group_ok = (sizes >= 2) & (gmin_mapq >= cfg.min_mapq)
+    if not group_ok.any():
+        return empty
+
+    # rows sorted by (group, fwd_qstart), stable on the original index
+    order = np.lexsort((fwd_qs, gid))
+    keep = group_ok[gid[order]]
+    order = order[keep]
+    g_s = gid[order]
+    strand_s = cr.strand[order].astype(np.int64)
+    starts_s = cr.starts[order]
+    ends_s = cr.ends[order]
+
+    # dominant strand per group: majority; exact tie -> the first primary's
+    # strand in query order (0 when the read has no primary here)
+    minus = np.bincount(gid, weights=(cr.strand == 1), minlength=G).astype(np.int64)
+    tie = minus * 2 == sizes
+    dom = (minus * 2 > sizes).astype(np.int64)
+    if tie.any():
+        idx_s = np.arange(len(order))
+        prim_pos = np.full(G, len(order), dtype=np.int64)
+        prim_rows = np.flatnonzero(cr.supp[order] == 0)
+        np.minimum.at(prim_pos, g_s[prim_rows], idx_s[prim_rows])
+        prim_strand = np.zeros(G, dtype=np.int64)
+        has_prim = prim_pos < len(order)
+        prim_strand[has_prim] = strand_s[prim_pos[has_prim]]
+        dom[tie] = prim_strand[tie]
+
+    # anchor = the group's first row in query order
+    grp_start = np.ones(len(order), dtype=bool)
+    grp_start[1:] = g_s[1:] != g_s[:-1]
+    start_idx = np.flatnonzero(grp_start)
+    anchor_of = np.zeros(G, dtype=np.int64)
+    anchor_of[g_s[start_idx]] = order[start_idx]
+
+    # INV: rows on the minority strand whose ref span clears sig_min
+    span = ends_s - starts_s
+    inv = (strand_s != dom[g_s]) & (span >= cfg.sig_min)
+    inv_t = np.full(int(inv.sum()), SVTYPE_INV, dtype=np.int8)
+    inv_p = starts_s[inv]
+    inv_l = span[inv]
+    inv_r = anchor_of[g_s[inv]].astype(np.int32)
+
+    # consecutive same-group same-strand pairs in query order
+    pair = (g_s[1:] == g_s[:-1]) & (strand_s[1:] == strand_s[:-1])
+    a = np.flatnonzero(pair)
+    b = a + 1
+    ov_lo = np.maximum(starts_s[a], starts_s[b])
+    ov_hi = np.minimum(ends_s[a], ends_s[b])
+    dup_len = ov_hi - ov_lo
+    is_dup = dup_len >= cfg.sig_min
+    # colinear split: minus-strand pairs walk the reference backwards in
+    # query order, so the gap orientation flips
+    plus = strand_s[a] == 0
+    ref_gap = np.where(plus, starts_s[b] - ends_s[a], starts_s[a] - ends_s[b])
+    gap_pos = np.where(plus, ends_s[a], ends_s[b])
+    q_gap = fwd_qs[order[b]] - fwd_qe[order[a]]
+    lin = ~is_dup & (q_gap >= 0)
+    is_del = lin & (ref_gap >= 0) & (ref_gap - q_gap >= cfg.sig_min)
+    # ref_gap may be slightly NEGATIVE for INS (microhomology at the
+    # breakpoint, bounded by -sig_min since larger overlaps took DUP) —
+    # the query surplus is still the inserted length
+    is_ins = lin & ~is_del & (q_gap - ref_gap >= cfg.sig_min)
+    pair_anchor = anchor_of[g_s[a]].astype(np.int32)
+
     return Signatures(
-        np.array(t_parts, dtype=np.int8),
-        np.array(p_parts, dtype=np.int64),
-        np.array(l_parts, dtype=np.int64),
-        np.array(r_parts, dtype=np.int32),
+        np.concatenate([
+            inv_t,
+            np.full(int(is_dup.sum()), SVTYPE_DUP, dtype=np.int8),
+            np.full(int(is_del.sum()), SVTYPE_DEL, dtype=np.int8),
+            np.full(int(is_ins.sum()), SVTYPE_INS, dtype=np.int8),
+        ]),
+        np.concatenate([
+            inv_p, ov_lo[is_dup], gap_pos[is_del],
+            np.minimum(gap_pos, gap_pos + ref_gap)[is_ins],
+        ]).astype(np.int64),
+        np.concatenate([
+            inv_l, dup_len[is_dup], (ref_gap - q_gap)[is_del],
+            (q_gap - ref_gap)[is_ins],
+        ]).astype(np.int64),
+        np.concatenate([
+            inv_r, pair_anchor[is_dup], pair_anchor[is_del],
+            pair_anchor[is_ins],
+        ]).astype(np.int32),
     )
 
 
