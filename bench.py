@@ -1,16 +1,25 @@
-"""Benchmark: haplotag-scoring kernel throughput (reads/s) on one chip.
+"""Benchmark: K1 kernel throughput + end-to-end pipeline on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N, ...}
 
-The measured op is the framework's hot inner loop (K1): fused phasing
-power-iteration + per-read haplotype scoring over a dense reads x het-sites
-window (duet_tpu.ops.haplotag.phase_and_tag) — the TPU-native replacement
-for WhatsHap haplotag, the dominant per-read cost of the reference pipeline
-(SURVEY.md §2.2 hot loops).  `vs_baseline` is the speedup of the device
-kernel over the same computation on the host CPU (numpy float32 BLAS), i.e.
-the per-chip acceleration of the measured inner loop; the driver-set target
-is >= 10x (BASELINE.md).
+Measured surfaces
+  kernel  the framework's hot inner loop (K1): fused phasing power-iteration
+          + per-read haplotype scoring over a dense reads x het-sites window
+          (duet_tpu.ops.haplotag.phase_and_tag) — the TPU-native replacement
+          for WhatsHap haplotag (SURVEY.md §2.2 hot loops).
+  e2e     the full pipeline, BAM -> phased_sv.vcf on a simulated dataset
+          (the reference's measured unit: per-stage wall-clock in
+          run_duet.log, reference duet:21-27), reported under the "e2e" key
+          with per-stage seconds and pipeline reads/s.
+
+`vs_baseline` is the device-kernel speedup over the SAME computation in
+numpy float32 BLAS on THIS HOST's CPU (single process) — labeled as such in
+"baseline"; the reference CPU pipeline itself (WhatsHap/cuteSV) is not
+installable in this image (BASELINE.md).
+
+Flags: --quick (small shapes, skip e2e), --e2e (pipeline only),
+       --e2e-mb N (dataset megabases, default 2).
 """
 
 from __future__ import annotations
@@ -53,18 +62,15 @@ def host_reference(alleles, weights, phase0, onehot, sweeps=2):
     return signed, rest
 
 
-def main() -> int:
-    quick = "--quick" in sys.argv
-    R, S, B = (8192, 1024, 16) if quick else (32768, 4096, 64)
-    iters = 5 if quick else 20
-    batch = make_batch(R, S, B, density=0.05)
-
-    # --- device timing -----------------------------------------------------
+def bench_kernel(quick: bool) -> dict:
     import jax
     import jax.numpy as jnp
 
     from duet_tpu.ops.haplotag import phase_and_tag
 
+    R, S, B = (8192, 1024, 16) if quick else (32768, 4096, 64)
+    iters = 5 if quick else 20
+    batch = make_batch(R, S, B, density=0.05)
     dev_args = [jax.device_put(a) for a in batch]
 
     def time_dev(fn):
@@ -92,21 +98,97 @@ def main() -> int:
         print(f"# fused pallas path skipped: {e}", file=sys.stderr)
     reads_per_s = R / dev_s
 
-    # --- host baseline (fewer iters; it is much slower) --------------------
+    # host baseline (fewer iters; it is much slower)
     host_reference(*batch)  # warmup / page-in
     h_iters = 1 if quick else 3
     t0 = time.perf_counter()
     for _ in range(h_iters):
         host_reference(*batch)
     host_s = (time.perf_counter() - t0) / h_iters
-    host_reads_per_s = R / host_s
-
-    print(json.dumps({
+    return {
         "metric": "haplotag_scoring_reads_per_s_per_chip",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / host_reads_per_s, 2),
-    }))
+        "vs_baseline": round(reads_per_s / (R / host_s), 2),
+        "baseline": "numpy float32 on this host CPU (same computation, "
+                    "single process); the reference CPU pipeline is not "
+                    "installable here",
+    }
+
+
+def bench_e2e(megabases: float) -> dict:
+    """Simulate ~`megabases` Mb of reads and run the full pipeline on the
+    live backend (warm persistent compile cache), reference-style per-stage
+    wall-clock + pipeline reads/s."""
+    import os
+    import tempfile
+
+    import jax
+
+    from duet_tpu.pipeline import PipelineConfig, run_pipeline
+    from duet_tpu.sim import SimConfig, simulate_dataset
+
+    n_contigs = max(int(round(megabases)), 1)
+    contigs = {f"chr{i + 1}": 1_000_000 for i in range(n_contigs)}
+    with tempfile.TemporaryDirectory() as tmp:
+        data = os.path.join(tmp, "data")
+        os.makedirs(data)
+        t0 = time.perf_counter()
+        simulate_dataset(data, SimConfig(contigs=contigs, seed=9,
+                                         coverage=15.0))
+        sim_s = time.perf_counter() - t0
+        out = os.path.join(tmp, "out")
+        t0 = time.perf_counter()
+        run_pipeline(PipelineConfig(
+            bam=os.path.join(data, "reads.bam"),
+            reference=os.path.join(data, "ref.fa"),
+            output=out,
+        ))
+        total_s = time.perf_counter() - t0
+        with open(os.path.join(out, "metrics.json")) as f:
+            m = json.load(f)
+        n_calls = sum(
+            1 for ln in open(os.path.join(out, "phased_sv.vcf"))
+            if ln.strip() and not ln.startswith("#")
+        )
+    return {
+        "backend": jax.default_backend(),
+        "megabases": n_contigs,
+        "reads": m["counts"]["reads"],
+        "sim_s": round(sim_s, 2),
+        "total_s": round(total_s, 2),
+        "reads_per_s": round(m["counts"]["reads"] / total_s, 1),
+        "per_stage_s": m["stages"],
+        "backends": m.get("backends", {}),
+        "phased_calls": n_calls,
+    }
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    e2e_only = "--e2e" in sys.argv
+    mb = 2.0
+    if "--e2e-mb" in sys.argv:
+        mb = float(sys.argv[sys.argv.index("--e2e-mb") + 1])
+
+    if e2e_only:
+        e2e = bench_e2e(mb)
+        print(json.dumps({
+            "metric": "pipeline_reads_per_s_per_chip",
+            "value": e2e["reads_per_s"],
+            "unit": "reads/s",
+            "vs_baseline": 0,
+            "e2e": e2e,
+        }))
+        return 0
+
+    result = bench_kernel(quick)
+    if not quick:
+        try:
+            result["e2e"] = bench_e2e(mb)
+        except Exception as e:
+            print(f"# e2e bench skipped: {e}", file=sys.stderr)
+    print(json.dumps(result))
     return 0
 
 

@@ -54,6 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host-kernel", action="store_true",
                    help="run the decision stage on host (float64) instead of "
                         "the device kernel")
+    p.add_argument("--device-stages", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="route pileup counting and SV clustering through the "
+                        "jitted device kernels: auto = when an accelerator "
+                        "is live (default), on/off = force")
+    p.add_argument("--mesh", default=None, metavar="DP,SP",
+                   help="run the phasing/clustering stages sharded over a "
+                        "(data-parallel, sequence-parallel) device mesh, "
+                        "e.g. --mesh 4,2; 'auto' uses all visible devices "
+                        "on the dp axis")
     p.add_argument("--phase-bnd", action="store_true",
                    help="genotype and phase breakend (BND) junctions through "
                         "the decision stage too (the reference filters them "
@@ -81,6 +91,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # honor JAX_PLATFORMS at the config level too: a site plugin may have
+    # pre-set jax.config.jax_platforms to the TPU platform at interpreter
+    # start, and config beats env (CLAUDE.md environment gotchas)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     cfg = PipelineConfig(
         bam=args.BAM,
@@ -95,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
         sv_caller=args.sv_caller,
         resume=args.resume,
         use_device_kernel=not args.host_kernel,
+        device_stages=args.device_stages,
+        mesh=args.mesh,
         haplotag_bam=args.haplotag_bam,
         snp_model=args.snp_model,
         phase_bnd=args.phase_bnd,

@@ -36,6 +36,11 @@ class SnpCallConfig:
     model: str = "counts"         # "counts" (exact-rational rule) | "nn"
                                   # (neural pileup caller, models/nn_snp.py —
                                   # the MXU analogue of Clair3's pileup net)
+    device: bool = False          # route counting + site calling through the
+                                  # jitted device kernel (duet_tpu.ops.pileup)
+                                  # — bit-identical to the host path (exact
+                                  # integer AF cuts); the pipeline enables it
+                                  # when an accelerator backend is live
 
 
 @dataclass
@@ -175,6 +180,69 @@ def call_snps_any(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
     return call_snps(contig, counts, ref_codes, cfg)
 
 
+def _pow2(n: int) -> int:
+    return 1 << max(n - 1, 0).bit_length()
+
+
+def call_snps_device(contig: str, obs, ref_codes: np.ndarray,
+                     cfg: SnpCallConfig) -> ContigSnps:
+    """Counting + site calling fused on the device (duet_tpu.ops.pileup):
+    one scatter-add into the (L, 4) count image plus elementwise calling,
+    with observation count and contig length padded to powers of two so jit
+    shapes stay bucketed (one compile per shape family).  Bit-identical to
+    the host path: same exact-integer AF cuts, same first-index argmax.
+    """
+    import jax.numpy as jnp
+
+    from duet_tpu.ops.pileup import call_sites, pileup_counts
+
+    positions, bases, quals, _ = obs
+    L = len(ref_codes)
+    k = len(positions)
+    Lpad = _pow2(max(L, 1))
+    kpad = _pow2(max(k, 1))
+    pos_p = np.zeros(kpad, dtype=np.int32)
+    bases_p = np.full(kpad, 4, dtype=np.int32)   # base=4 sentinel never counts
+    quals_p = np.zeros(kpad, dtype=np.int32)
+    pos_p[:k] = positions
+    bases_p[:k] = bases
+    quals_p[:k] = quals
+    ref_p = np.full(Lpad, 4, dtype=np.int32)     # ref=4 padding never calls
+    ref_p[:L] = ref_codes
+    counts = pileup_counts(jnp.asarray(pos_p), jnp.asarray(bases_p),
+                           jnp.asarray(quals_p), Lpad,
+                           jnp.int32(cfg.min_base_qual))
+    af_num, af_den = _as_rational(cfg.min_af)
+    hom_num, hom_den = _as_rational(cfg.hom_af)
+    is_site, is_het, alt_code, depth, alt_count = call_sites(
+        counts, jnp.asarray(ref_p), jnp.int32(cfg.min_depth),
+        jnp.int32(af_num), jnp.int32(af_den),
+        jnp.int32(hom_num), jnp.int32(hom_den), jnp.int32(cfg.min_alt_reads))
+    pos = np.flatnonzero(np.asarray(is_site)).astype(np.int64)
+    alt_code = np.asarray(alt_code)[pos]
+    return ContigSnps(
+        contig=contig,
+        pos=pos,
+        ref_code=ref_codes[pos].astype(np.uint8),
+        alt_code=alt_code.astype(np.uint8),
+        is_het=np.asarray(is_het)[pos],
+        depth=np.asarray(depth)[pos].astype(np.int32),
+        alt_count=np.asarray(alt_count)[pos].astype(np.int32),
+    )
+
+
+def snp_call_observations(contig: str, obs, ref_codes: np.ndarray,
+                          cfg: SnpCallConfig) -> ContigSnps:
+    """One contig's SNP calls from its observation stream — the shared
+    dispatch the batch and streaming pipelines use (host numpy counting, the
+    device kernel, or the neural caller)."""
+    if cfg.device and cfg.model == "counts":
+        return call_snps_device(contig, obs, ref_codes, cfg)
+    counts = count_alleles(obs[0], obs[1], obs[2], len(ref_codes),
+                           cfg.min_base_qual)
+    return call_snps_any(contig, counts, ref_codes, cfg)
+
+
 def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
                         cfg: SnpCallConfig | None = None, threads: int = 1):
     """ref_codes: per-contig uint8 base-code arrays (FastaFile.fetch_codes).
@@ -191,9 +259,7 @@ def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
         contig, cr = item
         codes = ref_codes[contig]
         obs = pileup_observations(cr, cfg)
-        counts = count_alleles(obs[0], obs[1], obs[2], len(codes),
-                               cfg.min_base_qual)
-        snps = call_snps_any(contig, counts, codes, cfg)
+        snps = snp_call_observations(contig, obs, codes, cfg)
         site_obs = filter_observations_to_sites(*obs, snps.pos)
         return contig, snps, site_obs
 

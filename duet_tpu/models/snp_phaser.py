@@ -411,7 +411,8 @@ def _haplotag(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 
 
 def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
-                     block_ps: np.ndarray, window: int = 2048, halo: int = 256):
+                     block_ps: np.ndarray, window: int = 2048, halo: int = 256,
+                     mesh=None):
     """Device-windowed read scoring (K1 in the pipeline).
 
     Sites are position-sorted, so they split into fixed windows of `window`
@@ -425,16 +426,29 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     On accelerator backends the scoring runs through the fused-epilogue
     Pallas kernel — besides skipping the HBM round-trips, it pads the block
     axis to the 128-lane boundary, so the per-window block-count bucketing
-    no longer multiplies jit shapes (one compile per window geometry)."""
+    no longer multiplies jit shapes (one compile per window geometry).
+
+    With `mesh` (a (dp, sp) jax.sharding.Mesh) each window chunk runs
+    through the mesh-sharded kernel instead: rows data-parallel over dp
+    (256 per device), sites sequence-parallel over sp, psum collectives on
+    both axes (duet_tpu.parallel.mesh) — outputs stay bit-identical."""
     import jax
 
     from duet_tpu.ops.haplotag import phase_and_tag
 
-    # Pallas/Mosaic kernels are TPU-only ("axon" is the tunneled TPU
-    # platform); any other accelerator keeps the plain-XLA path
-    use_pallas = jax.default_backend() in ("tpu", "axon")
-    if use_pallas:
-        from duet_tpu.ops.pallas_haplotag import haplotag_score_pallas
+    if mesh is not None:
+        from duet_tpu.parallel.mesh import phase_and_tag_sharded
+
+        dp, sp = int(mesh.shape["dp"]), int(mesh.shape["sp"])
+        chunk = 256 * dp
+        use_pallas = False
+    else:
+        sp, chunk = 1, 256
+        # Pallas/Mosaic kernels are TPU-only ("axon" is the tunneled TPU
+        # platform); any other accelerator keeps the plain-XLA path
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+        if use_pallas:
+            from duet_tpu.ops.pallas_haplotag import haplotag_score_pallas
 
     n, m = am.n_reads, am.n_sites
     read_hap = np.zeros(n, dtype=np.int8)
@@ -452,7 +466,7 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     span_ok = has_obs & (last_col < (w_of_read + 1) * window + halo)
 
     nblocks = max(len(block_ps), 1)
-    S_w = window + halo
+    S_w = -(-(window + halo) // sp) * sp  # sp-divisible site axis
     # partition observations by their read's window ONCE (span_ok reads have
     # every observation inside their window's column range by construction)
     w_of_obs = np.where(span_ok[am.row], w_of_read[am.row], -1)
@@ -463,13 +477,13 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         if len(rows) == 0:
             continue
         lo = w * window
-        hi = min(lo + S_w, m)
+        hi = min(lo + window + halo, m)
         o0 = int(np.searchsorted(w_sorted, w, "left"))
         o1 = int(np.searchsorted(w_sorted, w, "right"))
         sel = obs_order[o0:o1]
         row_local = np.searchsorted(rows, am.row[sel])
         col_local = am.col[sel] - lo
-        R_pad = max(int(np.ceil(len(rows) / 256)) * 256, 256)
+        R_pad = max(int(np.ceil(len(rows) / chunk)) * chunk, chunk)
         A = np.zeros((R_pad, S_w), dtype=np.int8)
         Wt = np.zeros((R_pad, S_w), dtype=np.float32)
         A[row_local, col_local] = am.allele[sel]
@@ -488,15 +502,20 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         ok = blk >= 0
         onehot[np.flatnonzero(ok), [local_of[int(b)] for b in blk[ok]]] = 1.0
 
-        # fixed 256-row chunks: ONE kernel shape regardless of contig size,
-        # so the jit (and the persistent compile cache) is hit forever after
-        for c0 in range(0, len(rows), 256):
-            c1 = min(c0 + 256, len(rows))
-            if use_pallas:
+        # fixed row chunks (256, or 256 per dp device): ONE kernel shape
+        # regardless of contig size, so the jit (and the persistent compile
+        # cache) is hit forever after
+        for c0 in range(0, len(rows), chunk):
+            c1 = min(c0 + chunk, len(rows))
+            if mesh is not None:
+                hap_d, pc_d, best_d, _ = phase_and_tag_sharded(
+                    mesh, A[c0:c0 + chunk], Wt[c0:c0 + chunk], ph, onehot,
+                    sweeps=0)
+            elif use_pallas:
                 hap_d, pc_d, best_d = haplotag_score_pallas(
-                    A[c0:c0 + 256], Wt[c0:c0 + 256], ph, onehot)
+                    A[c0:c0 + chunk], Wt[c0:c0 + chunk], ph, onehot)
             else:
-                out = phase_and_tag(A[c0:c0 + 256], Wt[c0:c0 + 256], ph,
+                out = phase_and_tag(A[c0:c0 + chunk], Wt[c0:c0 + chunk], ph,
                                     onehot, sweeps=0)
                 hap_d, pc_d, best_d = out["hap"], out["pc"], out["best_block"]
             hap = np.asarray(hap_d)[: c1 - c0]
@@ -525,7 +544,7 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 def phase_contig(cr: ContigReads, snps: ContigSnps,
                  cfg: SnpCallConfig | None = None, sweeps: int = 2,
                  use_device: bool = False, obs=None,
-                 min_junction_evidence: float = 0.0) -> PhaseResult:
+                 min_junction_evidence: float = 0.0, mesh=None) -> PhaseResult:
     am = build_allele_matrix(cr, snps, cfg, obs=obs)
     phase, block_id, block_ps = _initial_phase(am)
     if use_device:
@@ -551,7 +570,8 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
     if new_ps is not None:
         block_id, block_ps = new_id, new_ps
     if use_device:
-        read_hap, read_ps, read_pc = _haplotag_device(am, phase, block_id, block_ps)
+        read_hap, read_ps, read_pc = _haplotag_device(
+            am, phase, block_id, block_ps, mesh=mesh)
     else:
         read_hap, read_ps, read_pc = _haplotag(am, phase, block_id, block_ps)
     return PhaseResult(am.site_pos, phase, block_id, block_ps,

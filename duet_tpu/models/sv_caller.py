@@ -58,6 +58,10 @@ class SvCallConfig:
     af_hom: float = 0.8
     af_absent: float = 0.25
     min_mapq: int = 10
+    device: bool = False           # cluster through the jitted device kernel
+                                   # (duet_tpu.ops.cluster.cluster_device) —
+                                   # bit-identical to the host path; the
+                                   # pipeline enables it on accelerators
 
 
 @dataclass
@@ -333,21 +337,42 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig,
     )
 
 
-def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int):
+def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int,
+                      mesh=None):
     """Sorted chain clustering via the shared segment-reduce formulation
     (duet_tpu.ops.cluster) -> list of (call_pos, call_len, member_rows),
-    member_rows indexing the input signature arrays."""
-    from duet_tpu.ops.cluster import GAP, SPAN, cluster_host
+    member_rows indexing the input signature arrays.
+
+    Three bit-identical backends: host numpy (default), the jitted device
+    kernel (cfg.device — pow2-padded shapes so compiles stay bucketed), or
+    the coordinate-sharded mesh kernel (`mesh` — ppermute halos over the
+    sp axis, SURVEY.md §2.4)."""
+    from duet_tpu.ops.cluster import (
+        GAP,
+        SPAN,
+        cluster_device_to_host,
+        cluster_host,
+    )
 
     k = len(pos)
     if k == 0:
         return []
     num, den = cmd_as_rational(cfg.cluster_max_distance)
     max_dist = cfg.max_dist_ins if svtype == SVTYPE_INS else cfg.max_dist_del
-    call_pos, call_len, support, count, seg_of_input = cluster_host(
-        pos, length, read_idx,
-        SPAN if cfg.linkage == "span" else GAP, max_dist, num, den,
-    )
+    linkage = SPAN if cfg.linkage == "span" else GAP
+    if mesh is not None:
+        from duet_tpu.parallel.shard_cluster import cluster_sharded
+
+        call_pos, call_len, support, count, seg_of_input = cluster_sharded(
+            mesh, pos, length, read_idx, linkage, max_dist, num, den)
+    elif cfg.device:
+        call_pos, call_len, support, count, seg_of_input = \
+            cluster_device_to_host(pos, length, read_idx, linkage, max_dist,
+                                   num, den)
+    else:
+        call_pos, call_len, support, count, seg_of_input = cluster_host(
+            pos, length, read_idx, linkage, max_dist, num, den,
+        )
     order = np.argsort(seg_of_input, kind="stable")
     bounds = np.zeros(len(call_pos) + 1, dtype=np.int64)
     np.cumsum(count, out=bounds[1:])
@@ -416,7 +441,8 @@ def _spanning_dr(pool_starts, pool_ends_sorted, prim_span, names,
 
 
 def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig,
-                        tables: ContigTables | None = None) -> list[SvCall]:
+                        tables: ContigTables | None = None,
+                        mesh=None) -> list[SvCall]:
     tables = tables or contig_tables(cr, cfg)
     cig = extract_signatures(cr, cfg)
     spl = extract_split_signatures(cr, cfg, tables)
@@ -440,7 +466,8 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig,
         m = sigs.svtype == svtype
         sig_idx = np.flatnonzero(m)
         clusters = _cluster_one_type(
-            sigs.pos[m], sigs.length[m], sigs.read_idx[m], cfg, svtype
+            sigs.pos[m], sigs.length[m], sigs.read_idx[m], cfg, svtype,
+            mesh=mesh,
         )
         for cp, cl, rows_f in clusters:
             if cl < cfg.min_size:
@@ -637,11 +664,11 @@ def call_bnds_for_store(store: ReadStore,
     return call_bnds(evidence, cfg)
 
 
-def call_contig_with_evidence(cr: ContigReads, cfg: SvCallConfig):
+def call_contig_with_evidence(cr: ContigReads, cfg: SvCallConfig, mesh=None):
     """(intra-contig calls, breakend evidence) sharing one table scan —
     what the pipeline stages use."""
     tables = contig_tables(cr, cfg)
-    return (call_svs_for_contig(cr, cfg, tables),
+    return (call_svs_for_contig(cr, cfg, tables, mesh=mesh),
             bnd_evidence_for_contig(cr, cfg, tables))
 
 

@@ -104,6 +104,23 @@ def _body(aw, abs_aw, phase, block_onehot, sweeps: int):
     return hap, pc, best_block, jnp.sign(phase).astype(jnp.int8)
 
 
+def _local_body(a, w, ph, bo, sweeps: int):
+    aw = a.astype(jnp.bfloat16) * w.astype(jnp.bfloat16)
+    return _body(aw, jnp.abs(aw), ph, bo, sweeps)
+
+
+@partial(jax.jit, static_argnames=("mesh", "sweeps"))
+def _phase_and_tag_sharded_jit(mesh, alleles, weights, phase0, block_onehot,
+                               sweeps: int):
+    fn = jax.shard_map(
+        partial(_local_body, sweeps=sweeps),
+        mesh=mesh,
+        in_specs=(P("dp", "sp"), P("dp", "sp"), P("sp"), P("sp", None)),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("sp")),
+    )
+    return fn(alleles, weights, phase0, block_onehot)
+
+
 def phase_and_tag_sharded(mesh: Mesh, alleles, weights, phase0, block_onehot,
                           sweeps: int = 2):
     """Mesh-sharded equivalent of ops.haplotag.phase_and_tag.
@@ -111,23 +128,18 @@ def phase_and_tag_sharded(mesh: Mesh, alleles, weights, phase0, block_onehot,
     alleles/weights (R, S) with R divisible by mesh dp-size and S by sp-size
     (use pad_to_multiple); block_onehot (S, B) replicated over dp, sharded
     over sp on the site axis. Returns (hap, pc, best_block, phase).
+
+    Bit-identical to the single-device kernel: every matmul accumulates
+    integer-valued bf16 products in float32 (weights <= 40, row sums well
+    under 2^24), so the psum partial-sum order cannot perturb results.
+    The jit is cached on (mesh, sweeps, shapes) — one compile per shape
+    family, not per call.
     """
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     R, S = alleles.shape
     if R % dp or S % sp:
         raise ValueError(f"shape {alleles.shape} not divisible by mesh {dp}x{sp}")
-
-    def local(a, w, ph, bo):
-        aw = a.astype(jnp.bfloat16) * w.astype(jnp.bfloat16)
-        return _body(aw, jnp.abs(aw), ph, bo, sweeps)
-
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P("dp", "sp"), P("dp", "sp"), P("sp"), P("sp", None)),
-        out_specs=(P("dp"), P("dp"), P("dp"), P("sp")),
-    )
-    return jax.jit(fn)(
-        jnp.asarray(alleles), jnp.asarray(weights),
-        jnp.asarray(phase0, jnp.float32), jnp.asarray(block_onehot),
+    return _phase_and_tag_sharded_jit(
+        mesh, jnp.asarray(alleles), jnp.asarray(weights),
+        jnp.asarray(phase0, jnp.float32), jnp.asarray(block_onehot), sweeps,
     )

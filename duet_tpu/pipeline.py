@@ -78,10 +78,31 @@ class PipelineConfig:
 
     snp_model: str = "counts"           # "counts" | "nn" (neural pileup
                                         # caller — Clair3's role, on the MXU)
+    device_stages: str = "auto"         # route pileup counting + SV
+                                        # clustering through the jitted
+                                        # device kernels: "auto" (when an
+                                        # accelerator backend is live),
+                                        # "on" (force, e.g. CPU parity
+                                        # tests), "off"
+    mesh: str | None = None             # "DP,SP" or "auto": shard the
+                                        # haplotag-scoring and clustering
+                                        # stages over a (data-parallel,
+                                        # sequence-parallel) device mesh
+                                        # with in-graph XLA collectives
+                                        # (SURVEY.md §2.4); outputs stay
+                                        # byte-identical to single-device
+
+    def stages_on_device(self) -> bool:
+        if not self.use_device_kernel or self.device_stages == "off":
+            return False
+        if self.device_stages == "on":
+            return True
+        return _accelerator_live()
 
     def snp_cfg(self) -> SnpCallConfig:
         return SnpCallConfig(min_af=self.min_allele_frequency,
-                             model=self.snp_model)
+                             model=self.snp_model,
+                             device=self.stages_on_device())
 
     def sv_cfg(self) -> SvCallConfig:
         return SvCallConfig(
@@ -89,7 +110,19 @@ class PipelineConfig:
             cluster_max_distance=self.cluster_max_distance,
             min_size=self.sv_min_size,
             min_support=self.min_support_read,
+            device=self.stages_on_device(),
         )
+
+
+def _accelerator_live() -> bool:
+    """True when jax's default backend is an accelerator (TPU shows up as
+    'tpu' or the tunneled 'axon' platform)."""
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def _enable_compilation_cache() -> None:
@@ -130,11 +163,36 @@ class PipelineState:
     site_obs: dict[str, tuple] = field(default_factory=dict)
     phase_results: dict[str, PhaseResult] = field(default_factory=dict)
     read_haps: dict[str, dict[str, tuple[int, int, int]]] = field(default_factory=dict)
+    mesh: object | None = None  # resolved jax.sharding.Mesh (cfg.mesh)
+
+
+def _resolve_mesh(cfg: PipelineConfig):
+    """Build the (dp, sp) device mesh from cfg.mesh ('DP,SP' or 'auto')."""
+    if cfg.mesh is None:
+        return None
+    import jax
+
+    from duet_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    if cfg.mesh == "auto":
+        sp = 2 if n % 2 == 0 and n >= 4 else 1
+        dp = n // sp
+    else:
+        dp, sp = (int(x) for x in cfg.mesh.split(","))
+        if dp * sp > n:
+            raise ValueError(
+                f"--mesh {cfg.mesh} needs {dp * sp} devices, have {n}")
+    get_logger().info("device mesh: dp=%d sp=%d (%d devices)", dp, sp, dp * sp)
+    return make_mesh(dp=dp, sp=sp)
 
 
 def _proc(cfg: PipelineConfig) -> tuple[int, int]:
     """Resolved (process_id, num_processes). Explicit config wins (emulated
-    multi-process testing); else the live jax.distributed values."""
+    multi-process testing); else the live jax.distributed values.  Plain
+    single-process runs never touch jax here — multi-host is only ever wired
+    through cfg.coordinator (init_distributed), so without it the process
+    topology is trivially (0, 1) and host-kernel runs skip backend init."""
     if cfg.num_processes is not None:
         if cfg.num_processes > 1 and cfg.process_id is None:
             raise ValueError("--num-processes > 1 requires --process-id")
@@ -143,6 +201,8 @@ def _proc(cfg: PipelineConfig) -> tuple[int, int]:
             raise ValueError(
                 f"process_id {pid} out of range for {cfg.num_processes} processes")
         return pid, cfg.num_processes
+    if cfg.coordinator is None:
+        return 0, 1
     import jax
 
     return jax.process_index(), jax.process_count()
@@ -245,9 +305,11 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
     from duet_tpu.models.sv_caller import call_bnds, call_contig_with_evidence
 
     work = list(st.store.contigs.items())
-    if cfg.threads > 1 and len(work) > 1:
+    if cfg.threads > 1 and len(work) > 1 and st.mesh is None:
         # contig fan-out like the SNP stages (-t semantics; the reference
-        # forwards -t to its external callers, sv_calling.py:18)
+        # forwards -t to its external callers, sv_calling.py:18).  Mesh
+        # runs go contig-serial: the collectives already occupy every
+        # device, and serial dispatch keeps them deterministic.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(cfg.threads) as ex:
@@ -255,7 +317,7 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
                 lambda kv: (kv[0], call_contig_with_evidence(kv[1], sv_cfg)),
                 work))
     else:
-        results = [(c, call_contig_with_evidence(cr, sv_cfg))
+        results = [(c, call_contig_with_evidence(cr, sv_cfg, mesh=st.mesh))
                    for c, cr in work]
     calls = {c: r[0] for c, r in results}
     evidence = {c: r[1] for c, r in results}
@@ -287,11 +349,11 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
         cr = st.store.contigs[contig]
         result = phase_contig(cr, snps, cfg.snp_cfg(),
                               use_device=cfg.use_device_kernel,
-                              obs=st.site_obs.get(contig))
+                              obs=st.site_obs.get(contig), mesh=st.mesh)
         return contig, snps, cr, result
 
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
-    if cfg.threads > 1 and len(work) > 1:
+    if cfg.threads > 1 and len(work) > 1 and st.mesh is None:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(cfg.threads) as ex:
@@ -509,6 +571,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     t0 = time.time()
 
     st = PipelineState()
+    st.mesh = _resolve_mesh(cfg)
     st.ref = FastaFile(cfg.reference)
     snp_dir = os.path.join(cfg.output, "snp_calling")
     sv_dir = os.path.join(cfg.output, "sv_calling")
@@ -537,24 +600,21 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
                 else cr.contig
             codes = st.ref.fetch_codes(fa_name)
             from duet_tpu.models.snp_caller import (
-                call_snps_any,
-                count_alleles,
                 filter_observations_to_sites,
+                snp_call_observations,
             )
 
             obs = pileup_observations_for(cr, cfg)
-            counts = count_alleles(obs[0], obs[1], obs[2], len(codes),
-                                   cfg.snp_cfg().min_base_qual)
-            snps = call_snps_any(cr.contig, counts, codes, cfg.snp_cfg())
+            snps = snp_call_observations(cr.contig, obs, codes, cfg.snp_cfg())
             site_obs = filter_observations_to_sites(*obs, snps.pos)
             del obs
             snps_all[cr.contig] = snps
             # cross-contig breakend evidence survives the contig's release
             calls_all[cr.contig], bnd_evidence[cr.contig] = \
-                call_contig_with_evidence(cr, cfg.sv_cfg())
+                call_contig_with_evidence(cr, cfg.sv_cfg(), mesh=st.mesh)
             result = phase_contig(cr, snps, cfg.snp_cfg(),
                                   use_device=cfg.use_device_kernel,
-                                  obs=site_obs)
+                                  obs=site_obs, mesh=st.mesh)
             st.read_haps[cr.contig] = read_hap_map(cr, result)
             write_phased_snp_vcf(
                 os.path.join(ph_dir, f"phased_{cr.contig}.vcf.gz"),
@@ -650,6 +710,7 @@ def run_pipeline(cfg: PipelineConfig) -> str:
 
     t0 = time.time()
     st = PipelineState()
+    st.mesh = _resolve_mesh(cfg)
     metrics: dict = {"stages": {}, "counts": {}}
     with StageTimer("INGEST"):
         t = time.time()
@@ -677,6 +738,17 @@ def run_pipeline(cfg: PipelineConfig) -> str:
             t = time.time()
             fn(cfg, st)
             metrics["stages"][name.lower().replace(" ", "_")] = round(time.time() - t, 4)
+    on_dev = cfg.stages_on_device()
+    metrics["backends"] = {
+        "snp_pileup": "device" if on_dev and cfg.snp_model == "counts" else "host",
+        "sv_cluster": "mesh" if st.mesh is not None
+                      else ("device" if on_dev else "host"),
+        "haplotag": "mesh" if st.mesh is not None and cfg.use_device_kernel
+                    else ("device" if cfg.use_device_kernel else "host"),
+    }
+    if st.mesh is not None:
+        metrics["mesh"] = {"dp": int(st.mesh.shape["dp"]),
+                           "sp": int(st.mesh.shape["sp"])}
     metrics["counts"]["snp_sites"] = sum(len(s.pos) for s in st.snps.values())
     metrics["counts"]["tagged_reads"] = sum(
         len(m) for m in st.read_haps.values()

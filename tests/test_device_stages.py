@@ -1,0 +1,66 @@
+"""Pipeline parity with the device-kernel stage backends forced on.
+
+The production pipeline routes pileup counting and SV clustering through
+the jitted device kernels when an accelerator is live (PipelineConfig.
+device_stages="auto"); these tests force the device path on the CPU backend
+and pin every artifact byte-identical to the host-path run — the contract
+that makes the auto dispatch safe on real hardware.
+"""
+
+import gzip
+import os
+
+import pytest
+
+from duet_tpu.pipeline import PipelineConfig, run_pipeline
+
+
+def _read(path):
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_device_stage_artifacts_match_host(sim_dataset, tmp_path):
+    data_dir, _, _ = sim_dataset
+    outs = {}
+    for mode in ("off", "on"):
+        out = str(tmp_path / f"out_{mode}")
+        cfg = PipelineConfig(
+            bam=os.path.join(data_dir, "reads.bam"),
+            reference=os.path.join(data_dir, "ref.fa"),
+            output=out,
+            device_stages=mode,
+        )
+        run_pipeline(cfg)
+        outs[mode] = out
+    for artifact in ("snp_calling/pileup.vcf.gz", "sv_calling/variants.vcf",
+                     "phased_sv.vcf"):
+        a = _read(os.path.join(outs["off"], artifact))
+        b = _read(os.path.join(outs["on"], artifact))
+        assert a == b, f"device-stage mismatch in {artifact}"
+    # the run must actually have produced calls
+    final = _read(os.path.join(outs["on"], "phased_sv.vcf")).decode()
+    assert sum(1 for ln in final.splitlines()
+               if ln and not ln.startswith("#")) > 0
+
+
+def test_metrics_attribute_backends(sim_dataset, tmp_path):
+    import json
+
+    data_dir, _, _ = sim_dataset
+    out = str(tmp_path / "out_m")
+    cfg = PipelineConfig(
+        bam=os.path.join(data_dir, "reads.bam"),
+        reference=os.path.join(data_dir, "ref.fa"),
+        output=out,
+        device_stages="on",
+    )
+    run_pipeline(cfg)
+    with open(os.path.join(out, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert metrics["backends"]["snp_pileup"] == "device"
+    assert metrics["backends"]["sv_cluster"] == "device"
+    assert metrics["backends"]["haplotag"] == "device"

@@ -1,0 +1,73 @@
+"""Full-pipeline byte parity: (dp, sp) device mesh vs single-device.
+
+The production pipeline's mesh mode (PipelineConfig.mesh="DP,SP") runs the
+haplotag-scoring stage through phase_and_tag_sharded (psum over dp and sp)
+and SV clustering through cluster_sharded (ppermute coordinate halos).
+These tests run BAM -> phased_sv.vcf on the 8-virtual-device CPU mesh and
+pin every artifact byte-identical to the plain single-device run — the
+multi-chip scaling contract of SURVEY.md §2.4.
+"""
+
+import gzip
+import json
+import os
+
+import pytest
+
+from duet_tpu.pipeline import PipelineConfig, run_pipeline
+
+
+def _read(path):
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+ARTIFACTS = ("snp_calling/pileup.vcf.gz", "sv_calling/variants.vcf",
+             "phased_sv.vcf")
+
+
+def _run(data_dir, out, **kw):
+    cfg = PipelineConfig(
+        bam=os.path.join(data_dir, "reads.bam"),
+        reference=os.path.join(data_dir, "ref.fa"),
+        output=out, **kw,
+    )
+    run_pipeline(cfg)
+    return out
+
+
+@pytest.mark.parametrize("mesh", ["4,2", "8,1", "2,4"])
+def test_mesh_pipeline_matches_single_device(sim_dataset, tmp_path, mesh):
+    data_dir, _, _ = sim_dataset
+    base = _run(data_dir, str(tmp_path / "base"))
+    meshed = _run(data_dir, str(tmp_path / f"mesh_{mesh.replace(',', 'x')}"),
+                  mesh=mesh)
+    for artifact in ARTIFACTS:
+        assert _read(os.path.join(meshed, artifact)) == \
+            _read(os.path.join(base, artifact)), f"mesh mismatch in {artifact}"
+    final = _read(os.path.join(meshed, "phased_sv.vcf")).decode()
+    assert sum(1 for ln in final.splitlines()
+               if ln and not ln.startswith("#")) > 0
+    with open(os.path.join(meshed, "metrics.json")) as f:
+        metrics = json.load(f)
+    dp, sp = (int(x) for x in mesh.split(","))
+    assert metrics["mesh"] == {"dp": dp, "sp": sp}
+    assert metrics["backends"]["haplotag"] == "mesh"
+    assert metrics["backends"]["sv_cluster"] == "mesh"
+
+
+def test_mesh_auto_resolves(sim_dataset, tmp_path):
+    data_dir, _, _ = sim_dataset
+    base = _run(data_dir, str(tmp_path / "base"))
+    meshed = _run(data_dir, str(tmp_path / "auto"), mesh="auto")
+    assert _read(os.path.join(meshed, "phased_sv.vcf")) == \
+        _read(os.path.join(base, "phased_sv.vcf"))
+
+
+def test_mesh_rejects_oversubscription(sim_dataset, tmp_path):
+    data_dir, _, _ = sim_dataset
+    with pytest.raises(ValueError, match="devices"):
+        _run(data_dir, str(tmp_path / "over"), mesh="16,2")
