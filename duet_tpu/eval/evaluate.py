@@ -270,7 +270,19 @@ def main(argv=None) -> int:
     p.add_argument("--skip_phasing", action="store_true",
                    help="report calling/genotyping only (reference "
                         "evaluation.py flag parity)")
+    p.add_argument("--reference-semantics", action="store_true",
+                   help="score with the reference scorer's exact matching "
+                        "rules (nearest base with re-use, per-PS polarity "
+                        "pick) so numbers are paper-comparable; the default "
+                        "scorer uses stricter nearest-unused matching")
     args = p.parse_args(argv)
+    if args.reference_semantics:
+        from duet_tpu.eval.reference_semantics import evaluate_files_reference
+
+        print(json.dumps(evaluate_files_reference(
+            args.call_vcf, args.truth_vcf, args.refdist, args.pctsim,
+            args.bed, args.skip_phasing), indent=2))
+        return 0
     res = evaluate_files(args.call_vcf, args.truth_vcf, args.refdist,
                          args.pctsim, args.bed, args.all_ctgs)
     summary = res.summary()
