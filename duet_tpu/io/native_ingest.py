@@ -1,11 +1,18 @@
 """ctypes bridge to the native ingest library (native/duet_ingest.cc).
 
 Loads libduet_ingest.so (building it with make on first use if the
-toolchain is present) and exposes `load_read_store_native`, a drop-in
-replacement for duet_tpu.io.readstore.load_read_store: multi-threaded BGZF
-inflate + single-pass BAM column decode in C++, ~order-of-magnitude faster
-than the pure-Python reader on real data.  Falls back to the Python path
-when the library can't be built (NativeUnavailable)."""
+toolchain is present) and exposes the STREAMING contig iterator the C++
+core implements: bounded rolling buffers, threaded BGZF inflate, parallel
+record-to-column decode, and an in-decoder contig filter.  On top of it:
+
+  stream_read_store_native   generator of (ContigReads, contig_lengths) —
+                             the native backend of readstore.stream_contig_reads
+  load_read_store_native     whole-file ReadStore (drop-in for
+                             readstore.load_read_store), only_contigs
+                             honored DURING decode
+
+Falls back to the Python path when the library can't be built
+(NativeUnavailable)."""
 
 from __future__ import annotations
 
@@ -51,24 +58,30 @@ def get_lib() -> ctypes.CDLL:
     ):
         _build()
     lib = ctypes.CDLL(_SO_PATH)
-    lib.duet_bam_load.restype = ctypes.c_void_p
-    lib.duet_bam_load.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.duet_bam_open.restype = ctypes.c_void_p
+    lib.duet_bam_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     lib.duet_bam_error.restype = ctypes.c_char_p
     lib.duet_bam_error.argtypes = [ctypes.c_void_p]
-    lib.duet_bam_n_reads.restype = ctypes.c_int64
-    lib.duet_bam_n_reads.argtypes = [ctypes.c_void_p]
     lib.duet_bam_n_refs.restype = ctypes.c_int32
     lib.duet_bam_n_refs.argtypes = [ctypes.c_void_p]
     lib.duet_bam_ref_name.restype = ctypes.c_char_p
     lib.duet_bam_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.duet_bam_ref_length.restype = ctypes.c_int32
     lib.duet_bam_ref_length.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.duet_bam_set_filter.restype = None
+    lib.duet_bam_set_filter.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_int32),
+                                        ctypes.c_int32]
+    lib.duet_bam_next_contig.restype = ctypes.c_int32
+    lib.duet_bam_next_contig.argtypes = [ctypes.c_void_p]
+    lib.duet_bam_n_reads.restype = ctypes.c_int64
+    lib.duet_bam_n_reads.argtypes = [ctypes.c_void_p]
     lib.duet_bam_ragged_sizes.restype = None
     lib.duet_bam_ragged_sizes.argtypes = [ctypes.c_void_p,
                                           ctypes.POINTER(ctypes.c_int64)]
     lib.duet_bam_fill.restype = None
-    lib.duet_bam_free.restype = None
-    lib.duet_bam_free.argtypes = [ctypes.c_void_p]
+    lib.duet_bam_close.restype = None
+    lib.duet_bam_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -77,104 +90,144 @@ def _ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
 
-def load_read_store_native(bam_path: str, min_mapq: int = 0,
-                           n_threads: int | None = None) -> ReadStore:
-    """Native BAM decode -> per-contig ReadStore (column parity with the
-    Python reader; tests pin equality)."""
+def _fetch_contig(lib, h, name: str) -> ContigReads:
+    n = lib.duet_bam_n_reads(h)
+    sizes = (ctypes.c_int64 * 3)()
+    lib.duet_bam_ragged_sizes(h, sizes)
+    nb, nc, ns = sizes[0], sizes[1], sizes[2]
+    pos = np.empty(n, np.int64)
+    end = np.empty(n, np.int64)
+    mapq = np.empty(n, np.uint8)
+    flag = np.empty(n, np.uint16)
+    name_off = np.empty(n + 1, np.int64)
+    name_bytes = np.empty(nb, np.uint8)
+    cigar_off = np.empty(n + 1, np.int64)
+    cigar_ops = np.empty(nc, np.int8)
+    cigar_lens = np.empty(nc, np.int32)
+    seq_off = np.empty(n + 1, np.int64)
+    seq_codes = np.empty(ns, np.uint8)
+    quals = np.empty(ns, np.uint8)
+    lib.duet_bam_fill(
+        ctypes.c_void_p(h), _ptr(pos), _ptr(end), _ptr(mapq), _ptr(flag),
+        _ptr(name_off), _ptr(name_bytes), _ptr(cigar_off), _ptr(cigar_ops),
+        _ptr(cigar_lens), _ptr(seq_off), _ptr(seq_codes), _ptr(quals),
+    )
+    text = name_bytes.tobytes().decode()
+    names = [text[name_off[k]:name_off[k + 1]] for k in range(n)]
+    cr = ContigReads(
+        name, int(n), names, pos, end,
+        ((flag >> 4) & 1).astype(np.uint8), mapq,
+        ((flag >> 11) & 1).astype(np.uint8),
+        cigar_off, cigar_ops, cigar_lens, seq_off, seq_codes, quals,
+    )
+    if n > 1 and np.any(pos[1:] < pos[:-1]):
+        cr = _sort_contig(cr)
+    return cr
+
+
+def _sort_contig(cr: ContigReads) -> ContigReads:
+    """Stable position sort for non-coordinate-sorted inputs (parity with
+    readstore.pack_contig); coordinate-sorted BAMs skip this entirely."""
+    order = np.argsort(cr.starts, kind="stable")
+    m = cr.n
+    c_off = np.zeros(m + 1, np.int64)
+    s_off = np.zeros(m + 1, np.int64)
+    np.cumsum(cr.cigar_off[order + 1] - cr.cigar_off[order], out=c_off[1:])
+    np.cumsum(cr.seq_off[order + 1] - cr.seq_off[order], out=s_off[1:])
+    ops = np.empty(int(c_off[-1]), np.int8)
+    lens = np.empty(int(c_off[-1]), np.int32)
+    seq = np.empty(int(s_off[-1]), np.uint8)
+    qual = np.empty(int(s_off[-1]), np.uint8)
+    for k, i in enumerate(order):
+        ops[c_off[k]:c_off[k + 1]] = cr.cigar_ops[cr.cigar_off[i]:cr.cigar_off[i + 1]]
+        lens[c_off[k]:c_off[k + 1]] = cr.cigar_lens[cr.cigar_off[i]:cr.cigar_off[i + 1]]
+        seq[s_off[k]:s_off[k + 1]] = cr.seq[cr.seq_off[i]:cr.seq_off[i + 1]]
+        qual[s_off[k]:s_off[k + 1]] = cr.qual[cr.seq_off[i]:cr.seq_off[i + 1]]
+    return ContigReads(
+        cr.contig, m, [cr.names[i] for i in order],
+        cr.starts[order].copy(), cr.ends[order].copy(),
+        cr.strand[order].copy(), cr.mapq[order].copy(), cr.supp[order].copy(),
+        c_off, ops, lens, s_off, seq, qual,
+    )
+
+
+def stream_read_store_native(bam_path: str, min_mapq: int = 0,
+                             n_threads: int | None = None,
+                             only_contigs: set[str] | None = None):
+    """Generator of (ContigReads, contig_lengths): the native backend of
+    readstore.stream_contig_reads.  Peak memory is one contig's columns +
+    the decoder's rolling buffers; only_contigs filters at decode time."""
     lib = get_lib()
     if n_threads is None:
         n_threads = max(os.cpu_count() or 1, 1)
-    h = lib.duet_bam_load(bam_path.encode(), min_mapq, n_threads)
+    h = lib.duet_bam_open(bam_path.encode(), min_mapq, n_threads)
     try:
         err = lib.duet_bam_error(h)
         if err:
             raise ValueError(f"{bam_path}: {err.decode()}")
-        n = lib.duet_bam_n_reads(h)
-        sizes = (ctypes.c_int64 * 3)()
-        lib.duet_bam_ragged_sizes(h, sizes)
-        nb, nc, ns = sizes[0], sizes[1], sizes[2]
-
-        ref_id = np.empty(n, np.int32)
-        pos = np.empty(n, np.int64)
-        end = np.empty(n, np.int64)
-        mapq = np.empty(n, np.uint8)
-        flag = np.empty(n, np.uint16)
-        name_off = np.empty(n + 1, np.int64)
-        name_bytes = np.empty(nb, np.uint8)
-        cigar_off = np.empty(n + 1, np.int64)
-        cigar_ops = np.empty(nc, np.int8)
-        cigar_lens = np.empty(nc, np.int32)
-        seq_off = np.empty(n + 1, np.int64)
-        seq_codes = np.empty(ns, np.uint8)
-        quals = np.empty(ns, np.uint8)
-        lib.duet_bam_fill(
-            ctypes.c_void_p(h), _ptr(ref_id), _ptr(pos), _ptr(end), _ptr(mapq),
-            _ptr(flag), _ptr(name_off), _ptr(name_bytes), _ptr(cigar_off),
-            _ptr(cigar_ops), _ptr(cigar_lens), _ptr(seq_off), _ptr(seq_codes),
-            _ptr(quals),
-        )
         ref_names = [lib.duet_bam_ref_name(h, i).decode()
                      for i in range(lib.duet_bam_n_refs(h))]
-        ref_lengths = [lib.duet_bam_ref_length(h, i)
-                       for i in range(len(ref_names))]
+        contig_lengths = {
+            name: lib.duet_bam_ref_length(h, i)
+            for i, name in enumerate(ref_names)
+        }
+        if only_contigs is not None:
+            ids = [i for i, nm in enumerate(ref_names) if nm in only_contigs]
+            arr = (ctypes.c_int32 * max(len(ids), 1))(*ids)
+            lib.duet_bam_set_filter(ctypes.c_void_p(h), arr, len(ids))
+        while True:
+            rid = lib.duet_bam_next_contig(h)
+            if rid == -2:
+                err = lib.duet_bam_error(h)
+                raise ValueError(f"{bam_path}: "
+                                 f"{err.decode() if err else 'decode error'}")
+            if rid < 0:
+                break
+            yield _fetch_contig(lib, h, ref_names[rid]), contig_lengths
     finally:
-        lib.duet_bam_free(h)
+        lib.duet_bam_close(ctypes.c_void_p(h))
 
-    names_all = name_bytes.tobytes()
+
+def load_read_store_native(bam_path: str, min_mapq: int = 0,
+                           n_threads: int | None = None,
+                           only_contigs: set[str] | None = None) -> ReadStore:
+    """Native BAM decode -> per-contig ReadStore (column parity with the
+    Python reader; tests pin equality).  A contig split across several
+    stream segments (non-coordinate-sorted input) is concatenated and
+    re-sorted, matching readstore.load_read_store."""
+    parts: dict[str, list[ContigReads]] = {}
+    contig_lengths: dict[str, int] = {}
+    for cr, lengths in stream_read_store_native(
+            bam_path, min_mapq, n_threads, only_contigs):
+        contig_lengths = lengths
+        parts.setdefault(cr.contig, []).append(cr)
     contigs: dict[str, ContigReads] = {}
-    for rid in np.unique(ref_id):
-        sel = np.flatnonzero(ref_id == rid)
-        lo, hi = int(sel[0]), int(sel[-1]) + 1
-        contiguous = (hi - lo == len(sel)) and bool(
-            np.all(pos[lo:hi][1:] >= pos[lo:hi][:-1])
-        )
-        name = ref_names[int(rid)]
-        if contiguous:
-            # coordinate-sorted BAM: the contig is one contiguous sorted
-            # range — hand out VIEWS over the flat arrays (no copies; large
-            # host memcpys are the dominant cost on memory-bound hosts)
-            c0 = int(cigar_off[lo])
-            s0 = int(seq_off[lo])
-            c1 = int(cigar_off[hi])
-            s1 = int(seq_off[hi])
-            names = _split_names(names_all, name_off, lo, hi)
-            contigs[name] = ContigReads(
-                name, hi - lo, names, pos[lo:hi], end[lo:hi],
-                ((flag[lo:hi] >> 4) & 1).astype(np.uint8), mapq[lo:hi],
-                ((flag[lo:hi] >> 11) & 1).astype(np.uint8),
-                cigar_off[lo:hi + 1] - c0, cigar_ops[c0:c1],
-                cigar_lens[c0:c1], seq_off[lo:hi + 1] - s0,
-                seq_codes[s0:s1], quals[s0:s1],
-            )
-            continue
-        # fallback: gather (unsorted or interleaved input)
-        sel = sel[np.argsort(pos[sel], kind="stable")]
-        m = len(sel)
-        c_off = np.zeros(m + 1, np.int64)
-        s_off = np.zeros(m + 1, np.int64)
-        np.cumsum(cigar_off[sel + 1] - cigar_off[sel], out=c_off[1:])
-        np.cumsum(seq_off[sel + 1] - seq_off[sel], out=s_off[1:])
-        ops = np.empty(int(c_off[-1]), np.int8)
-        lens = np.empty(int(c_off[-1]), np.int32)
-        seq = np.empty(int(s_off[-1]), np.uint8)
-        qual = np.empty(int(s_off[-1]), np.uint8)
-        names = []
-        for k, i in enumerate(sel):
-            ops[c_off[k]:c_off[k + 1]] = cigar_ops[cigar_off[i]:cigar_off[i + 1]]
-            lens[c_off[k]:c_off[k + 1]] = cigar_lens[cigar_off[i]:cigar_off[i + 1]]
-            seq[s_off[k]:s_off[k + 1]] = seq_codes[seq_off[i]:seq_off[i + 1]]
-            qual[s_off[k]:s_off[k + 1]] = quals[seq_off[i]:seq_off[i + 1]]
-            names.append(names_all[name_off[i]:name_off[i + 1]].decode())
-        contigs[name] = ContigReads(
-            name, m, names, pos[sel].copy(), end[sel].copy(),
-            ((flag[sel] >> 4) & 1).astype(np.uint8), mapq[sel].copy(),
-            ((flag[sel] >> 11) & 1).astype(np.uint8),
-            c_off, ops, lens, s_off, seq, qual,
-        )
-    return ReadStore(contigs, dict(zip(ref_names, ref_lengths)))
+    for name, segs in parts.items():
+        contigs[name] = segs[0] if len(segs) == 1 \
+            else _sort_contig(_concat_contigs(name, segs))
+    return ReadStore(contigs, contig_lengths)
 
 
-def _split_names(names_all: bytes, name_off: np.ndarray, lo: int, hi: int) -> list[str]:
-    text = names_all[name_off[lo]:name_off[hi]].decode()
-    rel = (name_off[lo:hi + 1] - name_off[lo])
-    return [text[rel[k]:rel[k + 1]] for k in range(hi - lo)]
+def _concat_contigs(name: str, segs: list[ContigReads]) -> ContigReads:
+    n = sum(s.n for s in segs)
+    names: list[str] = []
+    for s in segs:
+        names.extend(s.names)
+
+    def cat(field):
+        return np.concatenate([getattr(s, field) for s in segs])
+
+    def cat_off(field):
+        out = [np.zeros(1, np.int64)]
+        base = 0
+        for s in segs:
+            off = getattr(s, field)
+            out.append(off[1:] + base)
+            base += int(off[-1])
+        return np.concatenate(out)
+
+    return ContigReads(
+        name, n, names, cat("starts"), cat("ends"), cat("strand"),
+        cat("mapq"), cat("supp"), cat_off("cigar_off"), cat("cigar_ops"),
+        cat("cigar_lens"), cat_off("seq_off"), cat("seq"), cat("qual"),
+    )

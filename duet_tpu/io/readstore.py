@@ -152,6 +152,26 @@ def stream_contig_reads(bam_path: str, min_mapq: int = 0):
             yield pack_contig(ref_names[cur_id], reads), contig_lengths
 
 
+def stream_contig_reads_auto(bam_path: str, min_mapq: int = 0,
+                             n_threads: int = 1,
+                             only_contigs: set[str] | None = None):
+    """stream_contig_reads with the native streaming decoder when the C++
+    library is buildable (bounded rolling buffers, threaded inflate,
+    parallel column decode — native/duet_ingest.cc), Python fallback
+    otherwise.  Returns (generator, backend_name)."""
+    try:
+        from duet_tpu.io.native_ingest import get_lib, stream_read_store_native
+
+        get_lib()  # raises NativeUnavailable before the generator starts
+        return stream_read_store_native(
+            bam_path, min_mapq, n_threads, only_contigs), "native"
+    except Exception:
+        gen = stream_contig_reads(bam_path, min_mapq)
+        if only_contigs is not None:
+            gen = ((cr, ln) for cr, ln in gen if cr.contig in only_contigs)
+        return gen, "python"
+
+
 def aligned_segments(cr: ContigReads, i: int) -> np.ndarray:
     """Match (M/=/X) segments of read i as rows [ref_start, query_start, length].
 

@@ -99,10 +99,19 @@ class PipelineConfig:
             return True
         return _accelerator_live()
 
+    def pileup_on_device(self) -> bool:
+        """Device pileup ships the whole per-contig observation stream
+        host->device; the scatter-add is bandwidth-bound, not MXU-bound, so
+        over a slow interconnect (this repo's tunneled chip) the transfer
+        dominates.  auto therefore keeps pileup on the host's bincount;
+        --device-stages on forces the device path (bit-identical either
+        way — the parity tests pin it)."""
+        return self.use_device_kernel and self.device_stages == "on"
+
     def snp_cfg(self) -> SnpCallConfig:
         return SnpCallConfig(min_af=self.min_allele_frequency,
                              model=self.snp_model,
-                             device=self.stages_on_device())
+                             device=self.pileup_on_device())
 
     def sv_cfg(self) -> SvCallConfig:
         return SvCallConfig(
@@ -112,6 +121,16 @@ class PipelineConfig:
             min_support=self.min_support_read,
             device=self.stages_on_device(),
         )
+
+
+def _peak_rss_mb() -> float:
+    """Peak resident set of this process in MB (ru_maxrss is KB on Linux)."""
+    try:
+        import resource
+
+        return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+    except Exception:
+        return 0.0
 
 
 def _accelerator_live() -> bool:
@@ -519,18 +538,18 @@ def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
 
 
 def _ingest(cfg: PipelineConfig, only_contigs: set[str] | None = None) -> ReadStore:
-    """Native C++ BAM decode (threaded BGZF inflate) with Python fallback.
+    """Native C++ BAM decode (streaming, threaded BGZF inflate + parallel
+    record parse) with Python fallback.
 
-    only_contigs: multi-process ownership filter — this process keeps just
-    its contigs' reads (native path filters post-decode)."""
+    only_contigs: multi-process ownership filter — applied DURING decode by
+    the native reader (non-owned contigs' records are skipped at scan time,
+    never column-decoded)."""
     try:
         from duet_tpu.io.native_ingest import load_read_store_native
 
-        store = load_read_store_native(cfg.bam, n_threads=cfg.threads)
+        store = load_read_store_native(cfg.bam, n_threads=cfg.threads,
+                                       only_contigs=only_contigs)
         get_logger().info("ingest backend: native")
-        if only_contigs is not None:
-            store.contigs = {c: cr for c, cr in store.contigs.items()
-                             if c in only_contigs}
         return store
     except Exception as e:  # NativeUnavailable or build/runtime failure
         get_logger().warning("native ingest unavailable (%s); using Python reader", e)
@@ -556,7 +575,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     artifacts are identical to run_pipeline's."""
     import time
 
-    from duet_tpu.io.readstore import stream_contig_reads
+    from duet_tpu.io.readstore import stream_contig_reads_auto
     from duet_tpu.models.sv_caller import call_bnds, call_contig_with_evidence
 
     if (cfg.num_processes or 1) > 1:
@@ -590,8 +609,11 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     bnd_evidence: dict = {}
     lengths: dict[str, int] = {}
     n_reads = 0
+    stream, stream_backend = stream_contig_reads_auto(
+        cfg.bam, n_threads=cfg.threads)
+    log.info("streaming ingest backend: %s", stream_backend)
     with StageTimer("STREAMING CONTIG PASS"):
-        for cr, contig_lengths in stream_contig_reads(cfg.bam):
+        for cr, contig_lengths in stream:
             if cr.contig not in aliases:
                 continue
             lengths.update(contig_lengths)
@@ -642,6 +664,8 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     with open(os.path.join(cfg.output, "metrics.json"), "w") as f:
         json.dump({
             "mode": "streaming",
+            "ingest_backend": stream_backend,
+            "peak_rss_mb": _peak_rss_mb(),
             "counts": {
                 "reads": n_reads,
                 "contigs": len(snps_all),
@@ -740,7 +764,8 @@ def run_pipeline(cfg: PipelineConfig) -> str:
             metrics["stages"][name.lower().replace(" ", "_")] = round(time.time() - t, 4)
     on_dev = cfg.stages_on_device()
     metrics["backends"] = {
-        "snp_pileup": "device" if on_dev and cfg.snp_model == "counts" else "host",
+        "snp_pileup": "device" if cfg.pileup_on_device()
+                      and cfg.snp_model == "counts" else "host",
         "sv_cluster": "mesh" if st.mesh is not None
                       else ("device" if on_dev else "host"),
         "haplotag": "mesh" if st.mesh is not None and cfg.use_device_kernel
@@ -754,6 +779,7 @@ def run_pipeline(cfg: PipelineConfig) -> str:
         len(m) for m in st.read_haps.values()
     )
     metrics["total_s"] = round(time.time() - t0, 4)
+    metrics["peak_rss_mb"] = _peak_rss_mb()
     metrics_name = "metrics.json" if pid == 0 else f"metrics.p{pid}.json"
     with open(os.path.join(cfg.output, metrics_name), "w") as f:
         json.dump(metrics, f, indent=2)

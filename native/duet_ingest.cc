@@ -2,25 +2,45 @@
 //
 // The framework's answer to the reference pipeline's samtools/text
 // round-trips (reference src/duet/sv_phasing_fn.py:25: `samtools view`
-// ASCII dump re-parsed per chromosome): decode the BAM ONCE, in native
-// code, straight into the packed column arrays duet_tpu.io.readstore
-// defines — no text, no per-stage re-reads.
+// ASCII dump re-parsed per chromosome): decode the BAM in native code,
+// straight into the packed column arrays duet_tpu.io.readstore defines —
+// no text, no per-stage re-reads.
 //
-// Layout produced (C API below, consumed via ctypes from
-// duet_tpu/io/native_ingest.py):
-//   per read  : ref_id i32, pos i64, end i64, mapq u8, flag u16
-//   ragged    : name bytes, cigar (op i8 / len i32), seq codes u8, qual u8
-//               each with (n+1) int64 offset arrays
-// Only primary mapped alignments are kept (flag & 0x904 == 0), matching
-// the Python reader's filter.
+// Architecture: a STREAMING contig iterator with bounded memory.
+//   * the compressed file is read in fixed-size chunks into a rolling
+//     buffer; complete BGZF members are inflated by a std::thread pool
+//     (BGZF blocks are independent gzip members) into a rolling inflated
+//     buffer — neither the compressed file nor the full inflated stream
+//     is ever resident at once
+//   * records are scanned sequentially (cheap: 4-byte length hops reading
+//     only ref_id/flag/mapq), then each contig's kept records are COLUMN-
+//     FILLED IN PARALLEL: pass A sizes every record, exclusive scans give
+//     per-record output offsets, pass B decodes cigars/seq nibbles into
+//     the final arrays with one thread per record slice
+//   * an optional ref-id filter skips non-owned contigs at scan time
+//     (multi-process contig ownership decodes only this process's shard)
 //
-// BGZF blocks are independent gzip members; decompression runs on a
-// std::thread pool over blocks, then records are parsed from the
-// concatenated stream in one pass.
+// Peak RSS is one contig's columns + O(chunk) rolling buffers — the
+// contract the streaming pipeline mode needs for whole-genome inputs.
+//
+// C API (consumed via ctypes from duet_tpu/io/native_ingest.py):
+//   duet_bam_open / duet_bam_error / duet_bam_close
+//   duet_bam_n_refs / duet_bam_ref_name / duet_bam_ref_length
+//   duet_bam_set_filter(refs, n)      — decode only these ref ids
+//   duet_bam_next_contig()            — >=0 ref id, -1 EOF, -2 error
+//   duet_bam_n_reads / duet_bam_ragged_sizes / duet_bam_fill
+//     — accessors for the CURRENT contig's columns
+//       per read: pos i64, end i64, mapq u8, flag u16
+//       ragged:   name bytes, cigar (op i8 / len i32), seq codes u8,
+//                 qual u8, each with (n+1) int64 offsets
+//
+// Filter semantics match the Python reader (io/readstore.py::_keep):
+// unmapped (0x4) and secondary (0x100) alignments are dropped;
+// SUPPLEMENTARY segments are kept — they carry the split-read evidence
+// the SV caller needs.
 
 #include <cstdint>
 #include <cstdio>
-#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -30,58 +50,72 @@
 
 namespace {
 
-struct BgzfBlock {
-  size_t in_off;    // compressed offset of the gzip member
-  size_t in_size;   // total member size (BSIZE+1)
-  size_t out_off;   // offset in the inflated stream
-  size_t out_size;  // ISIZE
+constexpr size_t kReadChunk = 4u << 20;  // compressed bytes per file read
+// skip unmapped + secondary; KEEP supplementary (0x800)
+constexpr uint16_t kSkipFlags = 0x4 | 0x100;
+
+// nibble -> framework base code (A=0 C=1 G=2 T=3 N/other=4)
+constexpr uint8_t kNibCode[16] = {4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4};
+
+// ref-consuming CIGAR ops: M D N = X  (0,2,3,7,8)
+inline bool consumes_ref(uint32_t op) {
+  return op == 0 || op == 2 || op == 3 || op == 7 || op == 8;
+}
+
+struct Columns {
+  std::vector<int64_t> pos, end;
+  std::vector<uint8_t> mapq;
+  std::vector<uint16_t> flag;
+  std::vector<int64_t> name_off, cigar_off, seq_off;
+  std::vector<uint8_t> name_bytes;
+  std::vector<int8_t> cigar_ops;
+  std::vector<int32_t> cigar_lens;
+  std::vector<uint8_t> seq_codes, quals;
+
+  void clear() {
+    pos.clear(); end.clear(); mapq.clear(); flag.clear();
+    name_off.clear(); cigar_off.clear(); seq_off.clear();
+    name_bytes.clear(); cigar_ops.clear(); cigar_lens.clear();
+    seq_codes.clear(); quals.clear();
+  }
 };
 
-bool read_file(const char* path, std::vector<uint8_t>& out) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return false;
-  std::fseek(f, 0, SEEK_END);
-  long sz = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  out.resize(static_cast<size_t>(sz));
-  size_t got = sz ? std::fread(out.data(), 1, out.size(), f) : 0;
-  std::fclose(f);
-  return got == out.size();
-}
+struct Reader {
+  FILE* f = nullptr;
+  bool file_eof = false;
+  std::string error;
+  int min_mapq = 0;
+  int n_threads = 1;
 
-// Scan BGZF member headers: each has a gzip header with FEXTRA and a
-// BC subfield carrying BSIZE (total block size - 1); ISIZE is the last
-// 4 bytes of the member.
-bool scan_blocks(const std::vector<uint8_t>& buf, std::vector<BgzfBlock>& blocks) {
-  size_t off = 0, out_off = 0;
-  const size_t n = buf.size();
-  while (off + 18 <= n) {
-    if (buf[off] != 0x1f || buf[off + 1] != 0x8b) return false;
-    uint16_t xlen = static_cast<uint16_t>(buf[off + 10] | (buf[off + 11] << 8));
-    size_t extra = off + 12;
-    size_t extra_end = extra + xlen;
-    if (extra_end > n) return false;
-    uint32_t bsize = 0;
-    bool found = false;
-    while (extra + 4 <= extra_end) {
-      uint8_t si1 = buf[extra], si2 = buf[extra + 1];
-      uint16_t slen = static_cast<uint16_t>(buf[extra + 2] | (buf[extra + 3] << 8));
-      if (si1 == 'B' && si2 == 'C' && slen == 2 && extra + 6 <= extra_end) {
-        bsize = static_cast<uint32_t>(buf[extra + 4] | (buf[extra + 5] << 8)) + 1u;
-        found = true;
-      }
-      extra += 4 + slen;
-    }
-    if (!found || off + bsize > n || bsize < 28) return false;
-    uint32_t isize;
-    std::memcpy(&isize, buf.data() + off + bsize - 4, 4);
-    blocks.push_back({off, bsize, out_off, isize});
-    out_off += isize;
-    off += bsize;
-    if (isize == 0 && off >= n) break;  // EOF marker block
-  }
-  return true;
-}
+  // rolling compressed window
+  std::vector<uint8_t> comp;
+  size_t comp_head = 0;
+
+  // rolling inflated window; bytes below `retain` may be reclaimed
+  std::vector<uint8_t> raw;
+  size_t scan_pos = 0;   // next unscanned byte
+  size_t retain = 0;     // first byte still referenced by pending metas
+
+  // header
+  bool header_done = false;
+  std::string header_text;
+  std::vector<std::string> ref_names;
+  std::vector<int32_t> ref_lengths;
+
+  // filter: want[ref_id] != 0 -> keep; empty -> keep all
+  std::vector<uint8_t> want;
+
+  // current contig scan state
+  int32_t cur_ref = -2;                // -2: none started yet
+  std::vector<size_t> metas;           // record starts (incl. size field)
+  bool done = false;
+
+  // finalized current contig
+  Columns cols;
+  int64_t n_reads = 0;
+
+  ~Reader() { if (f) std::fclose(f); }
+};
 
 bool inflate_block(const uint8_t* src, size_t src_size, uint8_t* dst,
                    size_t dst_size) {
@@ -98,229 +132,387 @@ bool inflate_block(const uint8_t* src, size_t src_size, uint8_t* dst,
   return rc == Z_STREAM_END && s.total_out == dst_size;
 }
 
-// skip unmapped + secondary; KEEP supplementary segments — they carry the
-// split-read evidence the SV caller needs (matches the Python reader)
-constexpr uint16_t kSkipFlags = 0x4 | 0x100;
-
-// nibble -> framework base code (A=0 C=1 G=2 T=3 N/other=4)
-constexpr uint8_t kNibCode[16] = {4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4};
-
-struct Store {
-  // header
-  std::string header_text;
-  std::vector<std::string> ref_names;
-  std::vector<int32_t> ref_lengths;
-  // columns
-  std::vector<int32_t> ref_id;
-  std::vector<int64_t> pos, end;
-  std::vector<uint8_t> mapq;
-  std::vector<uint16_t> flag;
-  std::vector<int64_t> name_off{0}, cigar_off{0}, seq_off{0};
-  std::vector<uint8_t> name_bytes;
-  std::vector<int8_t> cigar_ops;
-  std::vector<int32_t> cigar_lens;
-  std::vector<uint8_t> seq_codes, quals;
-  std::string error;
-};
-
-// ref-consuming CIGAR ops: M D N = X  (0,2,3,7,8)
-inline bool consumes_ref(uint32_t op) {
-  return op == 0 || op == 2 || op == 3 || op == 7 || op == 8;
+// One complete BGZF member at comp[off..]: returns BSIZE via *bsize and
+// ISIZE via *isize, or false when the member is still incomplete/invalid.
+// *valid is cleared on malformed data (vs merely incomplete).
+bool member_at(const std::vector<uint8_t>& buf, size_t off, uint32_t* bsize,
+               uint32_t* isize, bool* valid) {
+  *valid = true;
+  const size_t n = buf.size();
+  if (off + 18 > n) return false;
+  if (buf[off] != 0x1f || buf[off + 1] != 0x8b) { *valid = false; return false; }
+  uint16_t xlen = static_cast<uint16_t>(buf[off + 10] | (buf[off + 11] << 8));
+  size_t extra = off + 12, extra_end = extra + xlen;
+  if (extra_end > n) return false;
+  uint32_t bs = 0;
+  bool found = false;
+  while (extra + 4 <= extra_end) {
+    uint8_t si1 = buf[extra], si2 = buf[extra + 1];
+    uint16_t slen = static_cast<uint16_t>(buf[extra + 2] | (buf[extra + 3] << 8));
+    if (si1 == 'B' && si2 == 'C' && slen == 2 && extra + 6 <= extra_end) {
+      bs = static_cast<uint32_t>(buf[extra + 4] | (buf[extra + 5] << 8)) + 1u;
+      found = true;
+    }
+    extra += 4 + slen;
+  }
+  if (!found || bs < 28) { *valid = false; return false; }
+  if (off + bs > n) return false;
+  std::memcpy(isize, buf.data() + off + bs - 4, 4);
+  *bsize = bs;
+  return true;
 }
 
-bool parse_bam(const uint8_t* p, size_t n, int min_mapq, Store* st) {
-  if (n < 12 || std::memcmp(p, "BAM\x01", 4) != 0) {
-    st->error = "not a BAM stream";
-    return false;
+// Read more compressed bytes, inflate every complete member in the window
+// (thread pool over members), append to raw. Returns false when no new
+// inflated bytes could be produced (EOF or error).
+bool refill(Reader* rd) {
+  // reclaim consumed prefixes of both rolling buffers
+  if (rd->comp_head > (8u << 20)) {
+    rd->comp.erase(rd->comp.begin(), rd->comp.begin() + rd->comp_head);
+    rd->comp_head = 0;
   }
-  // payload is roughly half sequence nibbles + half quals; one upfront
-  // reservation avoids growth reallocation churn on multi-GB inputs
-  st->seq_codes.reserve(n / 2);
-  st->quals.reserve(n / 2);
-  st->name_bytes.reserve(n / 64);
-  st->cigar_ops.reserve(n / 256);
-  st->cigar_lens.reserve(n / 256);
-  size_t off = 4;
-  int32_t l_text;
-  std::memcpy(&l_text, p + off, 4); off += 4;
-  st->header_text.assign(reinterpret_cast<const char*>(p + off), l_text);
-  off += static_cast<size_t>(l_text);
-  int32_t n_ref;
-  std::memcpy(&n_ref, p + off, 4); off += 4;
-  for (int32_t i = 0; i < n_ref; ++i) {
-    int32_t l_name, l_ref;
-    std::memcpy(&l_name, p + off, 4); off += 4;
-    st->ref_names.emplace_back(reinterpret_cast<const char*>(p + off), l_name - 1);
-    off += static_cast<size_t>(l_name);
-    std::memcpy(&l_ref, p + off, 4); off += 4;
-    st->ref_lengths.push_back(l_ref);
+  size_t keep_from = rd->retain < rd->scan_pos ? rd->retain : rd->scan_pos;
+  if (keep_from > (16u << 20)) {
+    rd->raw.erase(rd->raw.begin(), rd->raw.begin() + keep_from);
+    rd->scan_pos -= keep_from;
+    rd->retain -= keep_from;
+    // pending metas are offsets into raw: rebase
+    for (auto& m : rd->metas) m -= keep_from;
   }
-  while (off + 4 <= n) {
-    int32_t block_size;
-    std::memcpy(&block_size, p + off, 4); off += 4;
-    if (block_size < 32 || off + static_cast<size_t>(block_size) > n) {
-      if (block_size == 0) break;
-      st->error = "truncated BAM record";
-      return false;
+
+  while (true) {
+    // collect complete members currently buffered
+    struct Member { size_t in_off, in_size, out_off, out_size; };
+    std::vector<Member> members;
+    size_t off = rd->comp_head;
+    size_t out_base = rd->raw.size();
+    size_t out_off = out_base;
+    while (true) {
+      uint32_t bsize = 0, isize = 0;
+      bool valid = true;
+      if (!member_at(rd->comp, off, &bsize, &isize, &valid)) {
+        if (!valid && off < rd->comp.size()) {
+          rd->error = "invalid BGZF stream";
+          return false;
+        }
+        break;
+      }
+      members.push_back({off, bsize, out_off, isize});
+      off += bsize;
+      out_off += isize;
     }
-    const uint8_t* r = p + off;
-    off += static_cast<size_t>(block_size);
-
-    int32_t ref_id, pos;
-    std::memcpy(&ref_id, r, 4);
-    std::memcpy(&pos, r + 4, 4);
-    uint8_t l_read_name = r[8];
-    uint8_t mapq = r[9];
-    uint16_t n_cigar, flag;
-    std::memcpy(&n_cigar, r + 12, 2);
-    std::memcpy(&flag, r + 14, 2);
-    int32_t l_seq;
-    std::memcpy(&l_seq, r + 16, 4);
-
-    if ((flag & kSkipFlags) || ref_id < 0 || mapq < min_mapq) continue;
-
-    const uint8_t* name_p = r + 32;
-    const uint8_t* cig_p = name_p + l_read_name;
-    const uint8_t* seq_p = cig_p + 4ull * n_cigar;
-    const uint8_t* qual_p = seq_p + (l_seq + 1) / 2;
-
-    st->ref_id.push_back(ref_id);
-    st->pos.push_back(pos);
-    st->mapq.push_back(mapq);
-    st->flag.push_back(flag);
-
-    st->name_bytes.insert(st->name_bytes.end(), name_p, name_p + l_read_name - 1);
-    st->name_off.push_back(static_cast<int64_t>(st->name_bytes.size()));
-
-    int64_t ref_span = 0;
-    for (uint16_t k = 0; k < n_cigar; ++k) {
-      uint32_t v;
-      std::memcpy(&v, cig_p + 4ull * k, 4);
-      uint32_t op = v & 0xF, len = v >> 4;
-      st->cigar_ops.push_back(static_cast<int8_t>(op));
-      st->cigar_lens.push_back(static_cast<int32_t>(len));
-      if (consumes_ref(op)) ref_span += len;
+    if (!members.empty()) {
+      rd->raw.resize(out_off);
+      int nt = rd->n_threads < 1 ? 1 : rd->n_threads;
+      if (static_cast<size_t>(nt) > members.size()) nt = static_cast<int>(members.size());
+      std::vector<int> ok(nt, 1);
+      std::vector<std::thread> pool;
+      for (int t = 0; t < nt; ++t) {
+        pool.emplace_back([&, t]() {
+          for (size_t i = t; i < members.size(); i += nt) {
+            const auto& m = members[i];
+            if (!inflate_block(rd->comp.data() + m.in_off, m.in_size,
+                               rd->raw.data() + m.out_off, m.out_size)) {
+              ok[t] = 0;
+              return;
+            }
+          }
+        });
+      }
+      for (auto& th : pool) th.join();
+      for (int t = 0; t < nt; ++t) {
+        if (!ok[t]) { rd->error = "BGZF inflate failed"; return false; }
+      }
+      rd->comp_head = off;
+      if (rd->raw.size() > out_base) return true;  // produced new bytes
     }
-    st->cigar_off.push_back(static_cast<int64_t>(st->cigar_ops.size()));
-    st->end.push_back(pos + (ref_span ? ref_span : 1));
+    if (rd->file_eof) return false;
+    size_t old = rd->comp.size();
+    rd->comp.resize(old + kReadChunk);
+    size_t got = std::fread(rd->comp.data() + old, 1, kReadChunk, rd->f);
+    rd->comp.resize(old + got);
+    if (got == 0) rd->file_eof = true;
+  }
+}
 
-    size_t base = st->seq_codes.size();
-    st->seq_codes.resize(base + static_cast<size_t>(l_seq));
-    uint8_t* out = st->seq_codes.data() + base;
-    int32_t half = l_seq / 2;
-    for (int32_t k = 0; k < half; ++k) {
-      uint8_t b = seq_p[k];
-      out[2 * k] = kNibCode[b >> 4];
-      out[2 * k + 1] = kNibCode[b & 0xF];
-    }
-    if (l_seq & 1) out[l_seq - 1] = kNibCode[seq_p[half] >> 4];
-    st->quals.insert(st->quals.end(), qual_p, qual_p + l_seq);
-    st->seq_off.push_back(static_cast<int64_t>(st->seq_codes.size()));
+// Ensure at least `need` inflated bytes are available at raw[from..].
+bool ensure(Reader* rd, size_t from, size_t need) {
+  while (rd->raw.size() < from + need) {
+    if (!refill(rd)) return false;
   }
   return true;
+}
+
+bool parse_header(Reader* rd) {
+  if (!ensure(rd, 0, 12)) return false;
+  if (std::memcmp(rd->raw.data(), "BAM\x01", 4) != 0) {
+    rd->error = "not a BAM stream";
+    return false;
+  }
+  int32_t l_text;
+  std::memcpy(&l_text, rd->raw.data() + 4, 4);
+  if (!ensure(rd, 0, 12 + static_cast<size_t>(l_text))) return false;
+  rd->header_text.assign(reinterpret_cast<const char*>(rd->raw.data() + 8), l_text);
+  size_t off = 8 + static_cast<size_t>(l_text);
+  if (!ensure(rd, off, 4)) return false;
+  int32_t n_ref;
+  std::memcpy(&n_ref, rd->raw.data() + off, 4);
+  off += 4;
+  for (int32_t i = 0; i < n_ref; ++i) {
+    if (!ensure(rd, off, 8)) return false;
+    int32_t l_name;
+    std::memcpy(&l_name, rd->raw.data() + off, 4);
+    if (!ensure(rd, off, 8 + static_cast<size_t>(l_name))) return false;
+    rd->ref_names.emplace_back(
+        reinterpret_cast<const char*>(rd->raw.data() + off + 4), l_name - 1);
+    int32_t l_ref;
+    std::memcpy(&l_ref, rd->raw.data() + off + 4 + l_name, 4);
+    rd->ref_lengths.push_back(l_ref);
+    off += 8 + static_cast<size_t>(l_name);
+  }
+  rd->scan_pos = off;
+  rd->retain = off;
+  rd->header_done = true;
+  return true;
+}
+
+// Parallel column fill of the current contig from rd->metas.
+void fill_columns(Reader* rd) {
+  const size_t n = rd->metas.size();
+  auto& c = rd->cols;
+  c.clear();
+  rd->n_reads = static_cast<int64_t>(n);
+  c.pos.resize(n); c.end.resize(n); c.mapq.resize(n); c.flag.resize(n);
+  c.name_off.resize(n + 1); c.cigar_off.resize(n + 1); c.seq_off.resize(n + 1);
+
+  // pass A: per-record sizes -> exclusive scans
+  std::vector<int64_t> name_len(n), cig_len(n), seq_len(n);
+  const uint8_t* base = rd->raw.data();
+  for (size_t i = 0; i < n; ++i) {
+    const uint8_t* r = base + rd->metas[i] + 4;
+    name_len[i] = r[8] - 1;  // drop the trailing NUL
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, r + 12, 2);
+    cig_len[i] = n_cigar;
+    int32_t l_seq;
+    std::memcpy(&l_seq, r + 16, 4);
+    seq_len[i] = l_seq;
+  }
+  c.name_off[0] = c.cigar_off[0] = c.seq_off[0] = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c.name_off[i + 1] = c.name_off[i] + name_len[i];
+    c.cigar_off[i + 1] = c.cigar_off[i] + cig_len[i];
+    c.seq_off[i + 1] = c.seq_off[i] + seq_len[i];
+  }
+  c.name_bytes.resize(static_cast<size_t>(c.name_off[n]));
+  c.cigar_ops.resize(static_cast<size_t>(c.cigar_off[n]));
+  c.cigar_lens.resize(static_cast<size_t>(c.cigar_off[n]));
+  c.seq_codes.resize(static_cast<size_t>(c.seq_off[n]));
+  c.quals.resize(static_cast<size_t>(c.seq_off[n]));
+
+  // pass B: parallel decode into the final arrays
+  int nt = rd->n_threads < 1 ? 1 : rd->n_threads;
+  if (static_cast<size_t>(nt) > n) nt = n ? static_cast<int>(n) : 1;
+  auto work = [&](size_t lo, size_t hi) {
+    for (size_t i = lo; i < hi; ++i) {
+      const uint8_t* r = base + rd->metas[i] + 4;
+      int32_t pos;
+      std::memcpy(&pos, r + 4, 4);
+      uint16_t n_cigar, flag;
+      std::memcpy(&n_cigar, r + 12, 2);
+      std::memcpy(&flag, r + 14, 2);
+      int32_t l_seq;
+      std::memcpy(&l_seq, r + 16, 4);
+      uint8_t l_read_name = r[8];
+      const uint8_t* name_p = r + 32;
+      const uint8_t* cig_p = name_p + l_read_name;
+      const uint8_t* seq_p = cig_p + 4ull * n_cigar;
+      const uint8_t* qual_p = seq_p + (l_seq + 1) / 2;
+
+      c.pos[i] = pos;
+      c.mapq[i] = r[9];
+      c.flag[i] = flag;
+      std::memcpy(c.name_bytes.data() + c.name_off[i], name_p,
+                  static_cast<size_t>(name_len[i]));
+      int64_t ref_span = 0;
+      int8_t* ops_out = c.cigar_ops.data() + c.cigar_off[i];
+      int32_t* lens_out = c.cigar_lens.data() + c.cigar_off[i];
+      for (uint16_t k = 0; k < n_cigar; ++k) {
+        uint32_t v;
+        std::memcpy(&v, cig_p + 4ull * k, 4);
+        uint32_t op = v & 0xF, len = v >> 4;
+        ops_out[k] = static_cast<int8_t>(op);
+        lens_out[k] = static_cast<int32_t>(len);
+        if (consumes_ref(op)) ref_span += len;
+      }
+      c.end[i] = pos + (ref_span ? ref_span : 1);
+      uint8_t* out = c.seq_codes.data() + c.seq_off[i];
+      int32_t half = l_seq / 2;
+      for (int32_t k = 0; k < half; ++k) {
+        uint8_t b = seq_p[k];
+        out[2 * k] = kNibCode[b >> 4];
+        out[2 * k + 1] = kNibCode[b & 0xF];
+      }
+      if (l_seq & 1) out[l_seq - 1] = kNibCode[seq_p[half] >> 4];
+      std::memcpy(c.quals.data() + c.seq_off[i], qual_p,
+                  static_cast<size_t>(l_seq));
+    }
+  };
+  if (nt <= 1 || n < 1024) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> pool;
+    size_t step = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      size_t lo = t * step, hi = lo + step < n ? lo + step : n;
+      if (lo >= hi) break;
+      pool.emplace_back(work, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  rd->metas.clear();
 }
 
 }  // namespace
 
 extern "C" {
 
-// Opaque handle API ----------------------------------------------------------
-
-void* duet_bam_load(const char* path, int min_mapq, int n_threads) {
-  std::vector<uint8_t> comp;
-  auto* st = new Store();
-  if (!read_file(path, comp)) {
-    st->error = "cannot read file";
-    return st;
+void* duet_bam_open(const char* path, int min_mapq, int n_threads) {
+  auto* rd = new Reader();
+  rd->min_mapq = min_mapq;
+  rd->n_threads = n_threads < 1 ? 1 : n_threads;
+  rd->f = std::fopen(path, "rb");
+  if (!rd->f) {
+    rd->error = "cannot read file";
+    return rd;
   }
-  std::vector<BgzfBlock> blocks;
-  if (!scan_blocks(comp, blocks)) {
-    st->error = "invalid BGZF stream";
-    return st;
-  }
-  size_t total = blocks.empty() ? 0 : blocks.back().out_off + blocks.back().out_size;
-  std::vector<uint8_t> raw(total);
-  if (n_threads < 1) n_threads = 1;
-  std::vector<std::thread> pool;
-  std::vector<int> ok(n_threads, 1);
-  for (int t = 0; t < n_threads; ++t) {
-    pool.emplace_back([&, t]() {
-      for (size_t i = t; i < blocks.size(); i += n_threads) {
-        const auto& b = blocks[i];
-        if (!inflate_block(comp.data() + b.in_off, b.in_size,
-                           raw.data() + b.out_off, b.out_size)) {
-          ok[t] = 0;
-          return;
-        }
-      }
-    });
-  }
-  for (auto& th : pool) th.join();
-  for (int t = 0; t < n_threads; ++t) {
-    if (!ok[t]) {
-      st->error = "BGZF inflate failed";
-      return st;
-    }
-  }
-  parse_bam(raw.data(), raw.size(), min_mapq, st);
-  return st;
+  parse_header(rd);
+  return rd;
 }
 
 const char* duet_bam_error(void* h) {
-  auto* st = static_cast<Store*>(h);
-  return st->error.empty() ? nullptr : st->error.c_str();
-}
-
-int64_t duet_bam_n_reads(void* h) {
-  return static_cast<int64_t>(static_cast<Store*>(h)->ref_id.size());
+  auto* rd = static_cast<Reader*>(h);
+  return rd->error.empty() ? nullptr : rd->error.c_str();
 }
 
 int32_t duet_bam_n_refs(void* h) {
-  return static_cast<int32_t>(static_cast<Store*>(h)->ref_names.size());
+  return static_cast<int32_t>(static_cast<Reader*>(h)->ref_names.size());
 }
 
 const char* duet_bam_ref_name(void* h, int32_t i) {
-  return static_cast<Store*>(h)->ref_names[i].c_str();
+  return static_cast<Reader*>(h)->ref_names[i].c_str();
 }
 
 int32_t duet_bam_ref_length(void* h, int32_t i) {
-  return static_cast<Store*>(h)->ref_lengths[i];
+  return static_cast<Reader*>(h)->ref_lengths[i];
 }
 
-// sizes of the ragged payload arrays: [name_bytes, cigar_entries, seq_bytes]
+// decode only these ref ids (multi-process contig ownership); n == 0 resets
+void duet_bam_set_filter(void* h, const int32_t* refs, int32_t n) {
+  auto* rd = static_cast<Reader*>(h);
+  rd->want.clear();
+  if (n <= 0) return;
+  rd->want.assign(rd->ref_names.size(), 0);
+  for (int32_t i = 0; i < n; ++i) {
+    if (refs[i] >= 0 && static_cast<size_t>(refs[i]) < rd->want.size())
+      rd->want[refs[i]] = 1;
+  }
+}
+
+// Advance to the next contig with kept records; its columns become current.
+// Returns the ref id, -1 at end of stream, -2 on error.
+int32_t duet_bam_next_contig(void* h) {
+  auto* rd = static_cast<Reader*>(h);
+  if (!rd->error.empty()) return -2;
+  if (rd->done) return -1;
+  if (!rd->header_done) { rd->done = true; return rd->error.empty() ? -1 : -2; }
+  rd->cur_ref = -2;
+  rd->retain = rd->scan_pos;
+  while (true) {
+    if (!ensure(rd, rd->scan_pos, 4)) {
+      if (!rd->error.empty()) return -2;
+      break;  // clean EOF
+    }
+    int32_t block_size;
+    std::memcpy(&block_size, rd->raw.data() + rd->scan_pos, 4);
+    if (block_size < 32) {
+      if (block_size == 0) { break; }
+      rd->error = "truncated BAM record";
+      return -2;
+    }
+    if (!ensure(rd, rd->scan_pos, 4 + static_cast<size_t>(block_size))) {
+      if (!rd->error.empty()) return -2;
+      rd->error = "truncated BAM record";
+      return -2;
+    }
+    const uint8_t* r = rd->raw.data() + rd->scan_pos + 4;
+    int32_t ref_id;
+    std::memcpy(&ref_id, r, 4);
+    uint16_t flag;
+    std::memcpy(&flag, r + 14, 2);
+    uint8_t mapq = r[9];
+    bool keep = !(flag & kSkipFlags) && ref_id >= 0 && mapq >= rd->min_mapq &&
+                (rd->want.empty() ||
+                 (static_cast<size_t>(ref_id) < rd->want.size() && rd->want[ref_id]));
+    if (keep) {
+      if (rd->cur_ref == -2) {
+        rd->cur_ref = ref_id;
+        rd->retain = rd->scan_pos;
+      } else if (ref_id != rd->cur_ref) {
+        // contig boundary: leave this record for the next call
+        fill_columns(rd);
+        return rd->cur_ref;
+      }
+      rd->metas.push_back(rd->scan_pos);
+    }
+    rd->scan_pos += 4 + static_cast<size_t>(block_size);
+    if (rd->cur_ref == -2) rd->retain = rd->scan_pos;
+  }
+  rd->done = true;
+  if (rd->cur_ref != -2) {
+    fill_columns(rd);
+    return rd->cur_ref;
+  }
+  return -1;
+}
+
+int64_t duet_bam_n_reads(void* h) {
+  return static_cast<Reader*>(h)->n_reads;
+}
+
+// sizes of the current contig's ragged arrays: [name_bytes, cigar, seq]
 void duet_bam_ragged_sizes(void* h, int64_t* out3) {
-  auto* st = static_cast<Store*>(h);
-  out3[0] = static_cast<int64_t>(st->name_bytes.size());
-  out3[1] = static_cast<int64_t>(st->cigar_ops.size());
-  out3[2] = static_cast<int64_t>(st->seq_codes.size());
+  auto& c = static_cast<Reader*>(h)->cols;
+  out3[0] = static_cast<int64_t>(c.name_bytes.size());
+  out3[1] = static_cast<int64_t>(c.cigar_ops.size());
+  out3[2] = static_cast<int64_t>(c.seq_codes.size());
 }
 
-// copy all column data into caller-allocated buffers
+// copy the current contig's columns into caller-allocated buffers
 void duet_bam_fill(void* h,
-                   int32_t* ref_id, int64_t* pos, int64_t* end,
+                   int64_t* pos, int64_t* end,
                    uint8_t* mapq, uint16_t* flag,
                    int64_t* name_off, uint8_t* name_bytes,
                    int64_t* cigar_off, int8_t* cigar_ops, int32_t* cigar_lens,
                    int64_t* seq_off, uint8_t* seq_codes, uint8_t* quals) {
-  auto* st = static_cast<Store*>(h);
+  auto& c = static_cast<Reader*>(h)->cols;
   auto cp = [](auto& vec, auto* dst) {
     if (!vec.empty()) std::memcpy(dst, vec.data(), vec.size() * sizeof(vec[0]));
   };
-  cp(st->ref_id, ref_id);
-  cp(st->pos, pos);
-  cp(st->end, end);
-  cp(st->mapq, mapq);
-  cp(st->flag, flag);
-  cp(st->name_off, name_off);
-  cp(st->name_bytes, name_bytes);
-  cp(st->cigar_off, cigar_off);
-  cp(st->cigar_ops, cigar_ops);
-  cp(st->cigar_lens, cigar_lens);
-  cp(st->seq_off, seq_off);
-  cp(st->seq_codes, seq_codes);
-  cp(st->quals, quals);
+  cp(c.pos, pos);
+  cp(c.end, end);
+  cp(c.mapq, mapq);
+  cp(c.flag, flag);
+  cp(c.name_off, name_off);
+  cp(c.name_bytes, name_bytes);
+  cp(c.cigar_off, cigar_off);
+  cp(c.cigar_ops, cigar_ops);
+  cp(c.cigar_lens, cigar_lens);
+  cp(c.seq_off, seq_off);
+  cp(c.seq_codes, seq_codes);
+  cp(c.quals, quals);
 }
 
-void duet_bam_free(void* h) { delete static_cast<Store*>(h); }
+void duet_bam_close(void* h) { delete static_cast<Reader*>(h); }
 
 }  // extern "C"

@@ -48,3 +48,41 @@ def test_invalid_file_raises(tmp_path):
     p.write_bytes(b"this is not a bam file at all, not even a little")
     with pytest.raises(ValueError):
         load_read_store_native(str(p))
+
+
+def test_streaming_native_matches_python(tmp_path):
+    """Native streaming iterator: same contigs, same columns, same order as
+    the Python streaming reader; only_contigs filters at decode time."""
+    from duet_tpu.io.native_ingest import stream_read_store_native
+    from duet_tpu.io.readstore import stream_contig_reads
+    from duet_tpu.sim import SimConfig, simulate_dataset
+
+    simulate_dataset(str(tmp_path), SimConfig(
+        contigs={"chrA": 90_000, "chrB": 90_000, "chrC": 90_000},
+        seed=21, coverage=10.0))
+    bam = str(tmp_path / "reads.bam")
+    py = list(stream_contig_reads(bam))
+    nat = list(stream_read_store_native(bam))
+    assert [c.contig for c, _ in nat] == [c.contig for c, _ in py]
+    for (a, la), (b, lb) in zip(py, nat):
+        assert la == lb
+        assert a.names == b.names
+        for f in ("starts", "ends", "strand", "mapq", "supp", "cigar_off",
+                  "cigar_ops", "cigar_lens", "seq_off", "seq", "qual"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                          err_msg=f"{a.contig}.{f}")
+
+    only = list(stream_read_store_native(bam, only_contigs={"chrB"}))
+    assert [c.contig for c, _ in only] == ["chrB"]
+    assert only[0][0].n == [c for c, _ in py if c.contig == "chrB"][0].n
+
+
+def test_load_only_contigs_filters_during_decode(sim_dataset):
+    from duet_tpu.io.native_ingest import load_read_store_native
+
+    out, _, _ = sim_dataset
+    full = load_read_store_native(f"{out}/reads.bam")
+    name = next(iter(full.contigs))
+    sub = load_read_store_native(f"{out}/reads.bam", only_contigs={name})
+    assert set(sub.contigs) == {name}
+    assert sub.contigs[name].n == full.contigs[name].n
