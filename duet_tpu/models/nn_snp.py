@@ -214,9 +214,9 @@ def _label_candidates(pos, alt_code, truth_pos, truth_alt, truth_gt):
     return labels
 
 
-def build_training_set(seeds=(11, 12, 13, 14),
-                       coverages=(6.0, 8.0, 12.0, 20.0, 30.0),
-                       error_rates=(0.01, 0.02, 0.04),
+def build_training_set(seeds=(11, 12, 13, 14, 15, 16),
+                       coverages=(4.0, 5.0, 6.0, 8.0, 12.0, 20.0, 30.0),
+                       error_rates=(0.01, 0.02, 0.035, 0.05),
                        contig_len: int = 300_000):
     """Simulate, pileup, window — (X, y) over seeds × coverage × error-rate
     regimes (each seed draws one coverage and one error rate, round-robin,
