@@ -440,6 +440,49 @@ def _spanning_dr(pool_starts, pool_ends_sorted, prim_span, names,
     return max(spanning - support_spanning, 0)
 
 
+def _all_clusters(sigs: Signatures, cfg: SvCallConfig, mesh=None):
+    """Yield (svtype, call_pos, call_len, member_rows) for every cluster of
+    every SV type, member_rows indexing the full signature arrays.
+
+    Host and single-device paths cluster ALL types in ONE pass
+    (ops.cluster.cluster_multi: sort by (type, pos), type changes break) —
+    one kernel invocation per contig instead of four, which matters when
+    every invocation is a host<->device round-trip.  The mesh path keeps
+    per-type coordinate sharding."""
+    from duet_tpu.ops.cluster import GAP, SPAN, cluster_multi
+
+    if mesh is not None:
+        for svtype in (SVTYPE_INS, SVTYPE_DEL, SVTYPE_INV, SVTYPE_DUP):
+            m = sigs.svtype == svtype
+            sig_idx = np.flatnonzero(m)
+            for cp, cl, rows_f in _cluster_one_type(
+                    sigs.pos[m], sigs.length[m], sigs.read_idx[m], cfg,
+                    svtype, mesh=mesh):
+                yield svtype, cp, cl, sig_idx[rows_f]
+        return
+    k = len(sigs.pos)
+    if k == 0:
+        return
+    num, den = cmd_as_rational(cfg.cluster_max_distance)
+    md_by_type = (cfg.max_dist_ins, cfg.max_dist_del,
+                  cfg.max_dist_del, cfg.max_dist_del)
+    call_pos, call_len, support, count, seg_of_input, call_type = \
+        cluster_multi(sigs.svtype.astype(np.int32), sigs.pos, sigs.length,
+                      sigs.read_idx,
+                      SPAN if cfg.linkage == "span" else GAP, md_by_type,
+                      num, den, device=cfg.device)
+    order = np.argsort(seg_of_input, kind="stable")
+    bounds = np.zeros(len(call_pos) + 1, dtype=np.int64)
+    np.cumsum(count, out=bounds[1:])
+    # emission in per-type order (INS, DEL, INV, DUP), positions ascending
+    # within each type — identical to the old per-type loop, so downstream
+    # call ordering (stable pos sort) is unchanged
+    seg_order = np.lexsort((call_pos, call_type))
+    for s in seg_order:
+        yield (int(call_type[s]), int(call_pos[s]), int(call_len[s]),
+               order[bounds[s]:bounds[s + 1]])
+
+
 def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig,
                         tables: ContigTables | None = None,
                         mesh=None) -> list[SvCall]:
@@ -462,50 +505,42 @@ def call_svs_for_contig(cr: ContigReads, cfg: SvCallConfig,
     pool_starts = tables.pool_starts
     pool_ends_sorted = tables.pool_ends_sorted
     prim_span = tables.prim_span
-    for svtype in (SVTYPE_INS, SVTYPE_DEL, SVTYPE_INV, SVTYPE_DUP):
-        m = sigs.svtype == svtype
-        sig_idx = np.flatnonzero(m)
-        clusters = _cluster_one_type(
-            sigs.pos[m], sigs.length[m], sigs.read_idx[m], cfg, svtype,
-            mesh=mesh,
-        )
-        for cp, cl, rows_f in clusters:
-            if cl < cfg.min_size:
-                continue
-            member_sigs = sig_idx[rows_f]
-            member_reads = sigs.read_idx[member_sigs]
-            uniq_rows = np.unique(member_reads)
-            names = sorted({cr.names[i] for i in uniq_rows})
-            support = len(names)
-            if support < cfg.min_support:
-                continue
-            # DR: distinct read names whose PRIMARY alignment spans the
-            # locus and that do not support the event
-            dr = _spanning_dr(pool_starts, pool_ends_sorted, prim_span,
-                              names, cp, buf)
-            dv = support
-            af = dv / max(dv + dr, 1)
-            # resolve the inserted sequence from the representative member:
-            # the one whose length IS the call's lower-median length (cuteSV
-            # likewise reports one supporting read's insert)
-            alt_seq = None
-            if svtype == SVTYPE_INS:
-                from duet_tpu.io.fasta import decode_bases
+    for svtype, cp, cl, member_sigs in _all_clusters(sigs, cfg, mesh):
+        if cl < cfg.min_size:
+            continue
+        member_reads = sigs.read_idx[member_sigs]
+        uniq_rows = np.unique(member_reads)
+        names = sorted({cr.names[i] for i in uniq_rows})
+        support = len(names)
+        if support < cfg.min_support:
+            continue
+        # DR: distinct read names whose PRIMARY alignment spans the
+        # locus and that do not support the event
+        dr = _spanning_dr(pool_starts, pool_ends_sorted, prim_span,
+                          names, cp, buf)
+        dv = support
+        af = dv / max(dv + dr, 1)
+        # resolve the inserted sequence from the representative member:
+        # the one whose length IS the call's lower-median length (cuteSV
+        # likewise reports one supporting read's insert)
+        alt_seq = None
+        if svtype == SVTYPE_INS:
+            from duet_tpu.io.fasta import decode_bases
 
-                for j in member_sigs:
-                    q = sigs.qpos_or_none(j)
-                    if sigs.length[j] != cl or q < 0:
-                        continue
-                    rd = int(sigs.read_idx[j])
-                    s0 = int(cr.seq_off[rd]) + q
-                    if s0 + cl <= int(cr.seq_off[rd + 1]):
-                        alt_seq = decode_bases(cr.seq[s0:s0 + cl])
-                        break
-            calls.append(SvCall(
-                contig=cr.contig, pos=cp, svtype=TYPE_NAMES[svtype], length=cl,
-                support=support, read_names=names,
-                gt=_genotype(af, dv + dr, cfg), dr=dr, dv=dv, alt_seq=alt_seq,
-            ))
+            for j in member_sigs:
+                q = sigs.qpos_or_none(j)
+                if sigs.length[j] != cl or q < 0:
+                    continue
+                rd = int(sigs.read_idx[j])
+                s0 = int(cr.seq_off[rd]) + q
+                if s0 + cl <= int(cr.seq_off[rd + 1]):
+                    alt_seq = decode_bases(cr.seq[s0:s0 + cl])
+                    break
+        calls.append(SvCall(
+            contig=cr.contig, pos=cp, svtype=TYPE_NAMES[svtype], length=cl,
+            support=support, read_names=names,
+            gt=_genotype(af, dv + dr, cfg), dr=dr, dv=dv, alt_seq=alt_seq,
+        ))
     calls.sort(key=lambda c: c.pos)
     return calls
 

@@ -184,6 +184,131 @@ def cluster_device(pos, length, read_idx, n_valid, linkage: int,
     return out
 
 
+def cluster_host_multi(svtype, pos, length, read_idx, linkage: int,
+                       md_by_type, cmd_num: int, cmd_den: int):
+    """One clustering pass over ALL SV types at once: signatures sort by
+    (type, position), a type change forces a segment break, and the gap
+    threshold is looked up per type (md_by_type, indexed by type code).
+    Returns (call_pos, call_len, support, count, seg_of_input, call_type)
+    — identical per-type results to running cluster_host per type, in one
+    pass (one device invocation on the jitted twin: 4x fewer host<->device
+    round-trips on the production SV stage)."""
+    k = len(pos)
+    if k == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e, e, e, e, e
+    order = np.lexsort((pos, svtype))
+    t = np.asarray(svtype)[order]
+    p, l, r = pos[order], length[order], read_idx[order]
+    md = np.asarray(md_by_type, dtype=np.int64)[t]
+    if linkage == SPAN:
+        dpos = np.abs(p[1:] - p[:-1])
+        dlen = np.abs(l[1:] - l[:-1])
+        denom = np.maximum(np.maximum(l[1:], l[:-1]), 1)
+        brk = (dpos + dlen).astype(np.float32) * np.float32(cmd_den) \
+            > denom.astype(np.float32) * np.float32(cmd_num)
+    else:
+        brk = (p[1:] - p[:-1]) > md[1:]
+    brk = brk | (t[1:] != t[:-1])
+    seg = np.zeros(k, dtype=np.int64)
+    seg[1:] = np.cumsum(brk)
+    nseg = int(seg[-1]) + 1
+
+    count = np.bincount(seg, minlength=nseg)
+    start = np.zeros(nseg, dtype=np.int64)
+    start[1:] = np.cumsum(count)[:-1]
+    med = start + (count - 1) // 2
+    call_pos = p[med]
+    call_type = t[med].astype(np.int64)
+
+    lorder = np.lexsort((l, seg))
+    call_len = l[lorder][med]
+
+    rorder = np.lexsort((r, seg))
+    rs, rr = seg[rorder], r[rorder]
+    first = np.ones(k, dtype=bool)
+    first[1:] = (rs[1:] != rs[:-1]) | (rr[1:] != rr[:-1])
+    support = np.bincount(rs, weights=first, minlength=nseg).astype(np.int64)
+
+    seg_of_input = np.empty(k, dtype=np.int64)
+    seg_of_input[order] = seg
+    return call_pos, call_len, support, count.astype(np.int64), \
+        seg_of_input, call_type
+
+
+@partial(jax.jit, static_argnames=("linkage",))
+def cluster_device_multi(svtype, pos, length, read_idx, n_valid,
+                         linkage: int, md_by_type, cmd_num, cmd_den):
+    """Jitted multi-type clustering over padded signature arrays (the device
+    twin of cluster_host_multi): one invocation covers every SV type of a
+    contig.  md_by_type is a small int32 vector indexed by type code."""
+    k = pos.shape[0]
+    idx = jnp.arange(k)
+    valid = idx < n_valid
+    order = jnp.lexsort((jnp.where(valid, pos, _POS_PAD),
+                         jnp.where(valid, svtype, 127)))
+    t = svtype[order]
+    p = pos[order]
+    l = length[order]
+    r = read_idx[order]
+    v = valid[order]
+
+    md = md_by_type[jnp.clip(t, 0, md_by_type.shape[0] - 1)]
+    brk = _break_flags(p[:-1], l[:-1], v[:-1], p[1:], l[1:], v[1:],
+                       linkage, md[1:], cmd_num, cmd_den)
+    brk = brk | (t[1:] != t[:-1])
+    seg = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(brk, dtype=jnp.int32)])
+    out = _segment_stats(p, l, r, v, seg)
+    count = out["count"]
+    start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
+    med = jnp.clip(start + (count - 1) // 2, 0, k - 1)
+    out["call_type"] = t[med]
+    out["order"] = order
+    return out
+
+
+def cluster_multi(svtype, pos, length, read_idx, linkage: int, md_by_type,
+                  cmd_num: int, cmd_den: int, device: bool = False,
+                  pad_to: int | None = None):
+    """Host/device dispatch for the one-pass multi-type clustering; same
+    return contract as cluster_host_multi.  Device shapes are padded to a
+    power of two with a 2048 floor so nearly every contig shares one
+    compiled program."""
+    k = len(pos)
+    if k == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e, e, e, e, e
+    if not device:
+        return cluster_host_multi(svtype, pos, length, read_idx, linkage,
+                                  md_by_type, cmd_num, cmd_den)
+    if pad_to is None:
+        pad_to = max(1 << (k - 1).bit_length(), 2048)
+    pp, ll, rr, n = pad_signatures(np.asarray(pos, np.int32),
+                                   np.asarray(length, np.int32),
+                                   np.asarray(read_idx, np.int32), pad_to)
+    tt = np.full(pad_to, 127, dtype=np.int32)
+    tt[:k] = svtype
+    out = cluster_device_multi(
+        jnp.asarray(tt), jnp.asarray(pp), jnp.asarray(ll), jnp.asarray(rr),
+        n, linkage, jnp.asarray(md_by_type, jnp.int32),
+        jnp.int32(cmd_num), jnp.int32(cmd_den))
+    is_seg = np.asarray(out["is_seg"])
+    sel = np.flatnonzero(is_seg)
+    seg_sorted = np.asarray(out["seg_of_sorted"])
+    order = np.asarray(out["order"])
+    seg_of_input = np.empty(k, dtype=np.int64)
+    seg_of_input[order[:k]] = seg_sorted[:k]
+    return (
+        np.asarray(out["call_pos"])[sel],
+        np.asarray(out["call_len"])[sel],
+        np.asarray(out["support"])[sel],
+        np.asarray(out["count"])[sel],
+        seg_of_input,
+        np.asarray(out["call_type"])[sel],
+    )
+
+
 def cluster_device_to_host(pos, length, read_idx, linkage: int, max_dist: int,
                            cmd_num: int, cmd_den: int, pad_to: int | None = None):
     """Convenience wrapper: pad, run the device kernel, unpad, and return the

@@ -68,3 +68,34 @@ def test_span_linkage_ratio():
     pos2 = np.array([1000, 1091], dtype=np.int64)
     cp2, _, _, _, _ = cluster_host(pos2, length, reads, SPAN, 0, 9, 10)
     assert len(cp2) == 2
+
+
+def test_multi_type_one_pass_matches_per_type():
+    """cluster_multi (one pass over all SV types, host and device) must
+    reproduce per-type cluster_host exactly: same segments, same stats."""
+    import numpy as np
+
+    from duet_tpu.ops.cluster import GAP, SPAN, cluster_host, cluster_multi
+
+    rng = np.random.default_rng(7)
+    k = 500
+    svtype = rng.integers(0, 4, size=k).astype(np.int32)
+    pos = rng.integers(0, 100_000, size=k).astype(np.int64)
+    length = rng.integers(30, 800, size=k).astype(np.int64)
+    reads = rng.integers(0, 120, size=k).astype(np.int64)
+    md_by_type = (100, 200, 200, 200)
+    for linkage in (GAP, SPAN):
+        for device in (False, True):
+            cp, cl, sup, cnt, seg, ct = cluster_multi(
+                svtype, pos, length, reads, linkage, md_by_type, 9, 10,
+                device=device)
+            # group one-pass output by type and compare to per-type runs
+            for t in range(4):
+                m = svtype == t
+                want = cluster_host(pos[m], length[m], reads[m], linkage,
+                                    md_by_type[t], 9, 10)
+                sel = ct == t
+                assert np.array_equal(cp[sel], want[0]), (linkage, device, t)
+                assert np.array_equal(cl[sel], want[1]), (linkage, device, t)
+                assert np.array_equal(sup[sel], want[2]), (linkage, device, t)
+                assert np.array_equal(cnt[sel], want[3]), (linkage, device, t)
