@@ -13,7 +13,7 @@ Classes: 0 = non-variant, 1 = het, 2 = hom-alt.  The alt allele itself stays
 the argmax non-reference allele, as in the counting caller, so downstream
 stages see an identical ContigSnps contract.
 
-Weights: duet_tpu/models/weights/nn_snp_v1.npz, reproducibly trained by
+Weights: duet_tpu/models/weights/nn_snp_v2.npz, reproducibly trained by
 `python -m duet_tpu.models.nn_snp train <out.npz>` (fixed seeds, CPU-jax).
 A numpy forward twin (`apply_np`) pins device/host decision parity in tests.
 """
@@ -30,7 +30,7 @@ N_FEATURES = N_WINDOW * 5 + 6        # 5 channels/site + ref onehot + altfrac + 
 HIDDEN = 64
 N_CLASSES = 3
 DEFAULT_WEIGHTS = os.path.join(os.path.dirname(__file__), "weights",
-                               "nn_snp_v1.npz")
+                               "nn_snp_v2.npz")
 _PARAM_KEYS = ("W1", "b1", "W2", "b2", "W3", "b3")
 
 
@@ -214,7 +214,7 @@ def _label_candidates(pos, alt_code, truth_pos, truth_alt, truth_gt):
     return labels
 
 
-def build_training_set(seeds=(11, 12, 13, 14, 15, 16),
+def build_training_set(seeds=(11, 12, 13, 14),
                        coverages=(4.0, 5.0, 6.0, 8.0, 12.0, 20.0, 30.0),
                        error_rates=(0.01, 0.02, 0.035, 0.05),
                        contig_len: int = 300_000):
@@ -224,10 +224,15 @@ def build_training_set(seeds=(11, 12, 13, 14, 15, 16),
     import shutil
     import tempfile
 
-    from duet_tpu.io.readstore import load_read_store
     from duet_tpu.models.snp_caller import (
         SnpCallConfig, count_alleles, pileup_observations)
     from duet_tpu.sim.simulate import SimConfig, simulate_dataset
+
+    try:  # native decoder: the corpus build is reader-bound otherwise
+        from duet_tpu.io.native_ingest import load_read_store_native \
+            as load_read_store
+    except Exception:
+        from duet_tpu.io.readstore import load_read_store
 
     xs, ys = [], []
     cfg = SnpCallConfig()
@@ -282,21 +287,25 @@ def train(out_path: str, steps: int = 1200, lr: float = 3e-3,
     opt_state = opt.init(params)
     Xd, yd = jnp.asarray(X), jnp.asarray(y)
     wd = jnp.asarray(class_w)[yd]
+    batch = min(16384, n)
 
-    def loss_fn(p):
-        logits = apply(p, Xd)
+    def loss_fn(p, xb, yb, wb):
+        logits = apply(p, xb)
         ll = jax.nn.log_softmax(logits, axis=1)
-        nll = -ll[jnp.arange(len(yd)), yd]
-        return (nll * wd).sum() / wd.sum()
+        nll = -ll[jnp.arange(len(yb)), yb]
+        return (nll * wb).sum() / wb.sum()
 
     @jax.jit
-    def step(p, s):
-        loss, g = jax.value_and_grad(loss_fn)(p)
+    def step(p, s, key):
+        idx = jax.random.randint(key, (batch,), 0, n)
+        loss, g = jax.value_and_grad(loss_fn)(p, Xd[idx], yd[idx], wd[idx])
         upd, s = opt.update(g, s)
         return optax.apply_updates(p, upd), s, loss
 
+    key = jax.random.PRNGKey(seed)
     for i in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
         if i % 100 == 0 or i == steps - 1:
             log(f"step {i}: loss {float(loss):.4f}")
     out = {k: np.asarray(v, np.float32) for k, v in params.items()}
