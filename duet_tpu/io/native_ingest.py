@@ -82,6 +82,8 @@ def get_lib() -> ctypes.CDLL:
     lib.duet_bam_fill.restype = None
     lib.duet_bam_close.restype = None
     lib.duet_bam_close.argtypes = [ctypes.c_void_p]
+    lib.duet_pileup_sizes.restype = None
+    lib.duet_pileup_fill.restype = None
     _lib = lib
     return lib
 
@@ -206,6 +208,56 @@ def load_read_store_native(bam_path: str, min_mapq: int = 0,
         contigs[name] = segs[0] if len(segs) == 1 \
             else _sort_contig(_concat_contigs(name, segs))
     return ReadStore(contigs, contig_lengths)
+
+
+def pileup_obs_native(cr: ContigReads, min_mapq: int, min_base_qual: int = 0,
+                      length: int | None = None, n_threads: int | None = None):
+    """Native pileup pass over decoded columns: (positions, bases, quals,
+    read_idx) for every M/=/X base, identical layout/order to
+    models.snp_caller.pileup_observations, plus — when `length` is given —
+    the (L, 4) allele-count image in the same call (one data pass instead
+    of numpy's repeat/cumsum temporaries on the host hot loop).
+
+    Returns (obs_tuple, counts_or_None)."""
+    lib = get_lib()
+    if n_threads is None:
+        n_threads = max(os.cpu_count() or 1, 1)
+    n = cr.n
+    starts = np.ascontiguousarray(cr.starts, np.int64)
+    mapq = np.ascontiguousarray(cr.mapq, np.uint8)
+    cigar_off = np.ascontiguousarray(cr.cigar_off, np.int64)
+    cigar_ops = np.ascontiguousarray(cr.cigar_ops, np.int8)
+    cigar_lens = np.ascontiguousarray(cr.cigar_lens, np.int32)
+    seq_off = np.ascontiguousarray(cr.seq_off, np.int64)
+    seq = np.ascontiguousarray(cr.seq, np.uint8)
+    quals = np.ascontiguousarray(cr.qual, np.uint8)
+
+    per_read = np.empty(n, np.int64)
+    lib.duet_pileup_sizes(
+        ctypes.c_int64(n), _ptr(mapq), ctypes.c_int(min_mapq),
+        _ptr(cigar_off), _ptr(cigar_ops), _ptr(cigar_lens), _ptr(per_read))
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(per_read, out=out_off[1:])
+    total = int(out_off[-1])
+    pos = np.empty(total, np.int32)
+    base = np.empty(total, np.uint8)
+    qual = np.empty(total, np.uint8)
+    read = np.empty(total, np.int32)
+    counts = None
+    counts_ptr = ctypes.c_void_p(None)
+    L = 0
+    if length is not None:
+        counts = np.zeros(int(length) * 4, np.int32)
+        counts_ptr = _ptr(counts)
+        L = int(length)
+    lib.duet_pileup_fill(
+        ctypes.c_int64(n), _ptr(starts), _ptr(mapq), ctypes.c_int(min_mapq),
+        _ptr(cigar_off), _ptr(cigar_ops), _ptr(cigar_lens), _ptr(seq_off),
+        _ptr(seq), _ptr(quals), _ptr(out_off), _ptr(pos), _ptr(base),
+        _ptr(qual), _ptr(read), counts_ptr, ctypes.c_int64(L),
+        ctypes.c_int(min_base_qual), ctypes.c_int(n_threads))
+    obs = (pos, base, qual, read)
+    return obs, (counts.reshape(L, 4) if counts is not None else None)
 
 
 def _concat_contigs(name: str, segs: list[ContigReads]) -> ContigReads:

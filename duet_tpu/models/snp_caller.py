@@ -232,15 +232,33 @@ def call_snps_device(contig: str, obs, ref_codes: np.ndarray,
 
 
 def snp_call_observations(contig: str, obs, ref_codes: np.ndarray,
-                          cfg: SnpCallConfig) -> ContigSnps:
+                          cfg: SnpCallConfig, counts=None) -> ContigSnps:
     """One contig's SNP calls from its observation stream — the shared
     dispatch the batch and streaming pipelines use (host numpy counting, the
-    device kernel, or the neural caller)."""
+    device kernel, or the neural caller).  `counts` short-circuits the
+    host bincount when the native pileup pass already produced the image."""
     if cfg.device and cfg.model == "counts":
         return call_snps_device(contig, obs, ref_codes, cfg)
-    counts = count_alleles(obs[0], obs[1], obs[2], len(ref_codes),
-                           cfg.min_base_qual)
+    if counts is None:
+        counts = count_alleles(obs[0], obs[1], obs[2], len(ref_codes),
+                               cfg.min_base_qual)
     return call_snps_any(contig, counts, ref_codes, cfg)
+
+
+def pileup_with_counts(cr: ContigReads, cfg: SnpCallConfig, length: int):
+    """(obs, (L, 4) counts) in one pass: the native C++ pileup when the
+    library is available (single data walk, threaded over reads), else the
+    numpy scans + bincount.  Output parity is pinned by tests."""
+    try:
+        from duet_tpu.io.native_ingest import pileup_obs_native
+
+        obs, counts = pileup_obs_native(cr, cfg.min_mapq, cfg.min_base_qual,
+                                        length)
+        return obs, counts
+    except Exception:
+        obs = pileup_observations(cr, cfg)
+        return obs, count_alleles(obs[0], obs[1], obs[2], length,
+                                  cfg.min_base_qual)
 
 
 def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
@@ -258,8 +276,8 @@ def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
     def one(item):
         contig, cr = item
         codes = ref_codes[contig]
-        obs = pileup_observations(cr, cfg)
-        snps = snp_call_observations(contig, obs, codes, cfg)
+        obs, counts = pileup_with_counts(cr, cfg, len(codes))
+        snps = snp_call_observations(contig, obs, codes, cfg, counts=counts)
         site_obs = filter_observations_to_sites(*obs, snps.pos)
         return contig, snps, site_obs
 

@@ -623,11 +623,13 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             codes = st.ref.fetch_codes(fa_name)
             from duet_tpu.models.snp_caller import (
                 filter_observations_to_sites,
+                pileup_with_counts,
                 snp_call_observations,
             )
 
-            obs = pileup_observations_for(cr, cfg)
-            snps = snp_call_observations(cr.contig, obs, codes, cfg.snp_cfg())
+            obs, counts = pileup_with_counts(cr, cfg.snp_cfg(), len(codes))
+            snps = snp_call_observations(cr.contig, obs, codes, cfg.snp_cfg(),
+                                         counts=counts)
             site_obs = filter_observations_to_sites(*obs, snps.pos)
             del obs
             snps_all[cr.contig] = snps

@@ -515,4 +515,93 @@ void duet_bam_fill(void* h,
 
 void duet_bam_close(void* h) { delete static_cast<Reader*>(h); }
 
+// ---------------------------------------------------------------------------
+// Pileup observation pass over already-decoded columns (the SNP stage's
+// host hot loop): for every M/=/X base of every mapq-passing read, emit
+// (ref_pos, base, qual, read_idx) in (read, op, base) order and accumulate
+// the (L, 4) allele-count image (bases >= 4 and low-qual bases dropped,
+// matching models/snp_caller.count_alleles).  Two-phase: sizes() gives the
+// per-read matched-base totals (caller prefix-sums them), fill() decodes in
+// parallel over read slices with per-thread count buffers.
+// ---------------------------------------------------------------------------
+
+void duet_pileup_sizes(int64_t n_reads, const uint8_t* mapq, int min_mapq,
+                       const int64_t* cigar_off, const int8_t* cigar_ops,
+                       const int32_t* cigar_lens, int64_t* out_per_read) {
+  for (int64_t i = 0; i < n_reads; ++i) {
+    int64_t total = 0;
+    if (mapq[i] >= min_mapq) {
+      for (int64_t k = cigar_off[i]; k < cigar_off[i + 1]; ++k) {
+        int8_t op = cigar_ops[k];
+        if ((op == 0 || op == 7 || op == 8) && cigar_lens[k] > 0)
+          total += cigar_lens[k];
+      }
+    }
+    out_per_read[i] = total;
+  }
+}
+
+void duet_pileup_fill(int64_t n_reads, const int64_t* starts,
+                      const uint8_t* mapq, int min_mapq,
+                      const int64_t* cigar_off, const int8_t* cigar_ops,
+                      const int32_t* cigar_lens, const int64_t* seq_off,
+                      const uint8_t* seq, const uint8_t* quals,
+                      const int64_t* out_off,  // (n_reads+1,) prefix sums
+                      int32_t* out_pos, uint8_t* out_base, uint8_t* out_qual,
+                      int32_t* out_read,
+                      int32_t* counts,  // (L*4,) zero-initialized, or null
+                      int64_t L, int min_base_qual, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 16) n_threads = 16;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (mapq[i] < min_mapq) continue;
+      int64_t ref = starts[i];
+      int64_t q = seq_off[i];
+      int64_t out = out_off[i];
+      for (int64_t k = cigar_off[i]; k < cigar_off[i + 1]; ++k) {
+        int8_t op = cigar_ops[k];
+        int32_t len = cigar_lens[k];
+        bool is_match = (op == 0 || op == 7 || op == 8);
+        bool takes_ref = is_match || op == 2 || op == 3;
+        bool takes_q = is_match || op == 1 || op == 4;
+        if (is_match && len > 0) {
+          for (int32_t b = 0; b < len; ++b) {
+            out_pos[out] = static_cast<int32_t>(ref + b);
+            out_base[out] = seq[q + b];
+            out_qual[out] = quals[q + b];
+            out_read[out] = static_cast<int32_t>(i);
+            ++out;
+          }
+        }
+        if (takes_ref) ref += len;
+        if (takes_q) q += len;
+      }
+    }
+  };
+  if (n_threads == 1 || n_reads < 256) {
+    work(0, n_reads);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t step = (n_reads + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t lo = t * step, hi = lo + step < n_reads ? lo + step : n_reads;
+      if (lo >= hi) break;
+      pool.emplace_back(work, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  // counting runs as one sequential pass over the emitted observations —
+  // O(total) with no per-thread (L, 4) buffers (chromosome-scale L would
+  // make those gigabytes each)
+  if (counts) {
+    int64_t total = out_off[n_reads];
+    for (int64_t j = 0; j < total; ++j) {
+      uint8_t base = out_base[j];
+      if (base < 4 && out_qual[j] >= min_base_qual && out_pos[j] < L)
+        ++counts[static_cast<int64_t>(out_pos[j]) * 4 + base];
+    }
+  }
+}
+
 }  // extern "C"

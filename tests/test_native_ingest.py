@@ -86,3 +86,32 @@ def test_load_only_contigs_filters_during_decode(sim_dataset):
     sub = load_read_store_native(f"{out}/reads.bam", only_contigs={name})
     assert set(sub.contigs) == {name}
     assert sub.contigs[name].n == full.contigs[name].n
+
+
+def test_native_pileup_matches_numpy(sim_dataset):
+    """Native pileup observation pass + count image vs the numpy scans."""
+    from duet_tpu.io.fasta import FastaFile
+    from duet_tpu.io.native_ingest import pileup_obs_native
+    from duet_tpu.io.readstore import load_read_store
+    from duet_tpu.models.snp_caller import (
+        SnpCallConfig,
+        count_alleles,
+        pileup_observations,
+    )
+
+    out, _, _ = sim_dataset
+    store = load_read_store(f"{out}/reads.bam")
+    fa = FastaFile(f"{out}/ref.fa")
+    cfg = SnpCallConfig()
+    for contig, cr in store.contigs.items():
+        L = len(fa.fetch_codes(contig))
+        want = pileup_observations(cr, cfg)
+        want_counts = count_alleles(want[0], want[1], want[2], L,
+                                    cfg.min_base_qual)
+        (pos, base, qual, read), counts = pileup_obs_native(
+            cr, cfg.min_mapq, cfg.min_base_qual, L)
+        np.testing.assert_array_equal(pos, want[0])
+        np.testing.assert_array_equal(base, want[1])
+        np.testing.assert_array_equal(qual, want[2])
+        np.testing.assert_array_equal(read, want[3])
+        np.testing.assert_array_equal(counts, want_counts)
