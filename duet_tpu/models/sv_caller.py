@@ -62,6 +62,12 @@ class SvCallConfig:
                                    # (duet_tpu.ops.cluster.cluster_device) —
                                    # bit-identical to the host path; the
                                    # pipeline enables it on accelerators
+    device_min_k: int = 65536      # auto-mode size gate: below this many
+                                   # signatures the host path wins (the
+                                   # kernel's compile + transfer latency
+                                   # dwarfs sub-ms numpy work — on the
+                                   # remote-compile tunnel by minutes);
+                                   # --device-stages on sets it to 0
 
 
 @dataclass
@@ -470,7 +476,8 @@ def _all_clusters(sigs: Signatures, cfg: SvCallConfig, mesh=None):
         cluster_multi(sigs.svtype.astype(np.int32), sigs.pos, sigs.length,
                       sigs.read_idx,
                       SPAN if cfg.linkage == "span" else GAP, md_by_type,
-                      num, den, device=cfg.device)
+                      num, den,
+                      device=cfg.device and k >= cfg.device_min_k)
     order = np.argsort(seg_of_input, kind="stable")
     bounds = np.zeros(len(call_pos) + 1, dtype=np.int64)
     np.cumsum(count, out=bounds[1:])

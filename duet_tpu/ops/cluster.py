@@ -237,34 +237,30 @@ def cluster_host_multi(svtype, pos, length, read_idx, linkage: int,
 
 
 @partial(jax.jit, static_argnames=("linkage",))
-def cluster_device_multi(svtype, pos, length, read_idx, n_valid,
+def cluster_device_multi(svtype, pos, length, read_idx, valid,
                          linkage: int, md_by_type, cmd_num, cmd_den):
-    """Jitted multi-type clustering over padded signature arrays (the device
-    twin of cluster_host_multi): one invocation covers every SV type of a
-    contig.  md_by_type is a small int32 vector indexed by type code."""
+    """Jitted multi-type clustering over PRE-SORTED padded arrays (the
+    device twin of cluster_host_multi): one invocation covers every SV type
+    of a contig.  Inputs arrive sorted by (type, position) with padding at
+    the tail — the wrapper sorts host-side (the arrays are already on the
+    host and k is small relative to the compile cost of an in-graph
+    multi-key sort through the remote-compile tunnel); the kernel keeps the
+    break flags, segment-id scan, and segment reductions.
+    md_by_type is a small int32 vector indexed by type code."""
     k = pos.shape[0]
-    idx = jnp.arange(k)
-    valid = idx < n_valid
-    order = jnp.lexsort((jnp.where(valid, pos, _POS_PAD),
-                         jnp.where(valid, svtype, 127)))
-    t = svtype[order]
-    p = pos[order]
-    l = length[order]
-    r = read_idx[order]
-    v = valid[order]
-
+    t = svtype
     md = md_by_type[jnp.clip(t, 0, md_by_type.shape[0] - 1)]
-    brk = _break_flags(p[:-1], l[:-1], v[:-1], p[1:], l[1:], v[1:],
+    brk = _break_flags(pos[:-1], length[:-1], valid[:-1],
+                       pos[1:], length[1:], valid[1:],
                        linkage, md[1:], cmd_num, cmd_den)
     brk = brk | (t[1:] != t[:-1])
     seg = jnp.concatenate([jnp.zeros(1, jnp.int32),
                            jnp.cumsum(brk, dtype=jnp.int32)])
-    out = _segment_stats(p, l, r, v, seg)
+    out = _segment_stats(pos, length, read_idx, valid, seg)
     count = out["count"]
     start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
     med = jnp.clip(start + (count - 1) // 2, 0, k - 1)
     out["call_type"] = t[med]
-    out["order"] = order
     return out
 
 
@@ -284,21 +280,24 @@ def cluster_multi(svtype, pos, length, read_idx, linkage: int, md_by_type,
                                   md_by_type, cmd_num, cmd_den)
     if pad_to is None:
         pad_to = max(1 << (k - 1).bit_length(), 2048)
-    pp, ll, rr, n = pad_signatures(np.asarray(pos, np.int32),
-                                   np.asarray(length, np.int32),
-                                   np.asarray(read_idx, np.int32), pad_to)
+    order = np.lexsort((pos, svtype))
+    pp, ll, rr, n = pad_signatures(np.asarray(pos, np.int32)[order],
+                                   np.asarray(length, np.int32)[order],
+                                   np.asarray(read_idx, np.int32)[order],
+                                   pad_to)
     tt = np.full(pad_to, 127, dtype=np.int32)
-    tt[:k] = svtype
+    tt[:k] = np.asarray(svtype)[order]
+    vv = np.zeros(pad_to, dtype=bool)
+    vv[:k] = True
     out = cluster_device_multi(
         jnp.asarray(tt), jnp.asarray(pp), jnp.asarray(ll), jnp.asarray(rr),
-        n, linkage, jnp.asarray(md_by_type, jnp.int32),
+        jnp.asarray(vv), linkage, jnp.asarray(md_by_type, jnp.int32),
         jnp.int32(cmd_num), jnp.int32(cmd_den))
     is_seg = np.asarray(out["is_seg"])
     sel = np.flatnonzero(is_seg)
     seg_sorted = np.asarray(out["seg_of_sorted"])
-    order = np.asarray(out["order"])
     seg_of_input = np.empty(k, dtype=np.int64)
-    seg_of_input[order[:k]] = seg_sorted[:k]
+    seg_of_input[order] = seg_sorted[:k]
     return (
         np.asarray(out["call_pos"])[sel],
         np.asarray(out["call_len"])[sel],

@@ -120,6 +120,11 @@ class PipelineConfig:
             min_size=self.sv_min_size,
             min_support=self.min_support_read,
             device=self.stages_on_device(),
+            # "on" forces the kernel regardless of input size (parity tests,
+            # real accelerator hosts); auto keeps the size gate — the
+            # kernel's compile/transfer latency only amortizes on large
+            # signature sets
+            device_min_k=0 if self.device_stages == "on" else 65536,
         )
 
 

@@ -105,6 +105,11 @@ struct Reader {
   // filter: want[ref_id] != 0 -> keep; empty -> keep all
   std::vector<uint8_t> want;
 
+  // compaction thresholds (bytes); tests shrink them to exercise the
+  // rolling-buffer rebase logic on small inputs
+  size_t comp_compact = 8u << 20;
+  size_t raw_compact = 16u << 20;
+
   // current contig scan state
   int32_t cur_ref = -2;                // -2: none started yet
   std::vector<size_t> metas;           // record starts (incl. size field)
@@ -167,12 +172,12 @@ bool member_at(const std::vector<uint8_t>& buf, size_t off, uint32_t* bsize,
 // inflated bytes could be produced (EOF or error).
 bool refill(Reader* rd) {
   // reclaim consumed prefixes of both rolling buffers
-  if (rd->comp_head > (8u << 20)) {
+  if (rd->comp_head > rd->comp_compact) {
     rd->comp.erase(rd->comp.begin(), rd->comp.begin() + rd->comp_head);
     rd->comp_head = 0;
   }
   size_t keep_from = rd->retain < rd->scan_pos ? rd->retain : rd->scan_pos;
-  if (keep_from > (16u << 20)) {
+  if (keep_from > rd->raw_compact) {
     rd->raw.erase(rd->raw.begin(), rd->raw.begin() + keep_from);
     rd->scan_pos -= keep_from;
     rd->retain -= keep_from;
@@ -236,8 +241,20 @@ bool refill(Reader* rd) {
 }
 
 // Ensure at least `need` inflated bytes are available at raw[from..].
+// Only safe while no compaction can run (header parse: retain == 0 keeps
+// keep_from below the compaction threshold).
 bool ensure(Reader* rd, size_t from, size_t need) {
   while (rd->raw.size() < from + need) {
+    if (!refill(rd)) return false;
+  }
+  return true;
+}
+
+// Ensure `need` bytes are available at raw[rd->scan_pos..].  refill() may
+// COMPACT the rolling buffer and rebase scan_pos, so the position must be
+// re-read each iteration — a by-value `from` would go stale.
+bool ensure_scan(Reader* rd, size_t need) {
+  while (rd->raw.size() < rd->scan_pos + need) {
     if (!refill(rd)) return false;
   }
   return true;
@@ -407,6 +424,13 @@ int32_t duet_bam_ref_length(void* h, int32_t i) {
   return static_cast<Reader*>(h)->ref_lengths[i];
 }
 
+// shrink the rolling-buffer compaction thresholds (tests)
+void duet_bam_set_compact(void* h, int64_t comp_bytes, int64_t raw_bytes) {
+  auto* rd = static_cast<Reader*>(h);
+  if (comp_bytes > 0) rd->comp_compact = static_cast<size_t>(comp_bytes);
+  if (raw_bytes > 0) rd->raw_compact = static_cast<size_t>(raw_bytes);
+}
+
 // decode only these ref ids (multi-process contig ownership); n == 0 resets
 void duet_bam_set_filter(void* h, const int32_t* refs, int32_t n) {
   auto* rd = static_cast<Reader*>(h);
@@ -429,7 +453,7 @@ int32_t duet_bam_next_contig(void* h) {
   rd->cur_ref = -2;
   rd->retain = rd->scan_pos;
   while (true) {
-    if (!ensure(rd, rd->scan_pos, 4)) {
+    if (!ensure_scan(rd, 4)) {
       if (!rd->error.empty()) return -2;
       break;  // clean EOF
     }
@@ -440,7 +464,7 @@ int32_t duet_bam_next_contig(void* h) {
       rd->error = "truncated BAM record";
       return -2;
     }
-    if (!ensure(rd, rd->scan_pos, 4 + static_cast<size_t>(block_size))) {
+    if (!ensure_scan(rd, 4 + static_cast<size_t>(block_size))) {
       if (!rd->error.empty()) return -2;
       rd->error = "truncated BAM record";
       return -2;

@@ -115,3 +115,26 @@ def test_native_pileup_matches_numpy(sim_dataset):
         np.testing.assert_array_equal(qual, want[2])
         np.testing.assert_array_equal(read, want[3])
         np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_rolling_buffer_compaction(tmp_path):
+    """Regression: refill() compacts the rolling buffers mid-ensure and
+    rebases scan_pos/metas — a stale by-value offset surfaced as a
+    'truncated BAM record' on multi-contig inputs.  Tiny compaction
+    thresholds force many rebases on a small file."""
+    from duet_tpu.io.native_ingest import stream_read_store_native
+    from duet_tpu.io.readstore import stream_contig_reads
+    from duet_tpu.sim import SimConfig, simulate_dataset
+
+    simulate_dataset(str(tmp_path), SimConfig(
+        contigs={"chrA": 150_000, "chrB": 150_000, "chrC": 150_000},
+        seed=29, coverage=12.0))
+    bam = str(tmp_path / "reads.bam")
+    py = list(stream_contig_reads(bam))
+    nat = list(stream_read_store_native(bam, compact_bytes=4096))
+    assert [c.contig for c, _ in nat] == [c.contig for c, _ in py]
+    for (a, _), (b, _) in zip(py, nat):
+        assert a.names == b.names
+        np.testing.assert_array_equal(a.starts, b.starts)
+        np.testing.assert_array_equal(a.seq, b.seq)
+        np.testing.assert_array_equal(a.cigar_lens, b.cigar_lens)
