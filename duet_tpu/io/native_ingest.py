@@ -87,6 +87,7 @@ def get_lib() -> ctypes.CDLL:
     lib.duet_bam_close.argtypes = [ctypes.c_void_p]
     lib.duet_pileup_sizes.restype = None
     lib.duet_pileup_fill.restype = None
+    lib.duet_pileup_counts_only.restype = None
     _lib = lib
     return lib
 
@@ -220,32 +221,74 @@ def load_read_store_native(bam_path: str, min_mapq: int = 0,
     return ReadStore(contigs, contig_lengths)
 
 
+def _pileup_cols(cr: ContigReads):
+    return (np.ascontiguousarray(cr.starts, np.int64),
+            np.ascontiguousarray(cr.mapq, np.uint8),
+            np.ascontiguousarray(cr.cigar_off, np.int64),
+            np.ascontiguousarray(cr.cigar_ops, np.int8),
+            np.ascontiguousarray(cr.cigar_lens, np.int32),
+            np.ascontiguousarray(cr.seq_off, np.int64),
+            np.ascontiguousarray(cr.seq, np.uint8),
+            np.ascontiguousarray(cr.qual, np.uint8))
+
+
+def pileup_counts_native(cr: ContigReads, min_mapq: int, min_base_qual: int,
+                         length: int) -> np.ndarray:
+    """(L, 4) allele-count image in one native pass — the observation
+    stream itself is never materialized (models.snp_caller.count_alleles
+    parity, pinned by tests)."""
+    lib = get_lib()
+    starts, mapq, cigar_off, cigar_ops, cigar_lens, seq_off, seq, quals = \
+        _pileup_cols(cr)
+    counts = np.zeros(int(length) * 4, np.int32)
+    lib.duet_pileup_counts_only(
+        ctypes.c_int64(cr.n), _ptr(starts), _ptr(mapq),
+        ctypes.c_int(min_mapq), _ptr(cigar_off), _ptr(cigar_ops),
+        _ptr(cigar_lens), _ptr(seq_off), _ptr(seq), _ptr(quals),
+        _ptr(counts), ctypes.c_int64(int(length)),
+        ctypes.c_int(min_base_qual))
+    return counts.reshape(int(length), 4)
+
+
 def pileup_obs_native(cr: ContigReads, min_mapq: int, min_base_qual: int = 0,
-                      length: int | None = None, n_threads: int | None = None):
+                      length: int | None = None, n_threads: int | None = None,
+                      site_pos: np.ndarray | None = None):
     """Native pileup pass over decoded columns: (positions, bases, quals,
     read_idx) for every M/=/X base, identical layout/order to
     models.snp_caller.pileup_observations, plus — when `length` is given —
-    the (L, 4) allele-count image in the same call (one data pass instead
-    of numpy's repeat/cumsum temporaries on the host hot loop).
+    the (L, 4) allele-count image in the same call.
+
+    With `site_pos` (sorted reference positions), only bases landing ON
+    those sites are emitted — the at-site slice the phasing stage needs,
+    identical to filter_observations_to_sites(pileup_observations(...)).
 
     Returns (obs_tuple, counts_or_None)."""
+    if site_pos is not None and length is not None:
+        raise ValueError("counts must come from the unfiltered stream: "
+                         "use pileup_counts_native with site_pos filtering")
     lib = get_lib()
     if n_threads is None:
         n_threads = max(os.cpu_count() or 1, 1)
     n = cr.n
-    starts = np.ascontiguousarray(cr.starts, np.int64)
-    mapq = np.ascontiguousarray(cr.mapq, np.uint8)
-    cigar_off = np.ascontiguousarray(cr.cigar_off, np.int64)
-    cigar_ops = np.ascontiguousarray(cr.cigar_ops, np.int8)
-    cigar_lens = np.ascontiguousarray(cr.cigar_lens, np.int32)
-    seq_off = np.ascontiguousarray(cr.seq_off, np.int64)
-    seq = np.ascontiguousarray(cr.seq, np.uint8)
-    quals = np.ascontiguousarray(cr.qual, np.uint8)
+    starts, mapq, cigar_off, cigar_ops, cigar_lens, seq_off, seq, quals = \
+        _pileup_cols(cr)
+
+    lut_ptr = ctypes.c_void_p(None)
+    lut_len = 0
+    lut = None
+    if site_pos is not None:
+        top = int(site_pos[-1]) if len(site_pos) else -1
+        lut = np.zeros(top + 1, np.uint8)
+        if len(site_pos):
+            lut[np.asarray(site_pos, np.int64)] = 1
+        lut_ptr = _ptr(lut)
+        lut_len = top + 1
 
     per_read = np.empty(n, np.int64)
     lib.duet_pileup_sizes(
-        ctypes.c_int64(n), _ptr(mapq), ctypes.c_int(min_mapq),
-        _ptr(cigar_off), _ptr(cigar_ops), _ptr(cigar_lens), _ptr(per_read))
+        ctypes.c_int64(n), _ptr(starts), _ptr(mapq), ctypes.c_int(min_mapq),
+        _ptr(cigar_off), _ptr(cigar_ops), _ptr(cigar_lens),
+        lut_ptr, ctypes.c_int64(lut_len), _ptr(per_read))
     out_off = np.zeros(n + 1, np.int64)
     np.cumsum(per_read, out=out_off[1:])
     total = int(out_off[-1])
@@ -263,7 +306,8 @@ def pileup_obs_native(cr: ContigReads, min_mapq: int, min_base_qual: int = 0,
     lib.duet_pileup_fill(
         ctypes.c_int64(n), _ptr(starts), _ptr(mapq), ctypes.c_int(min_mapq),
         _ptr(cigar_off), _ptr(cigar_ops), _ptr(cigar_lens), _ptr(seq_off),
-        _ptr(seq), _ptr(quals), _ptr(out_off), _ptr(pos), _ptr(base),
+        _ptr(seq), _ptr(quals), lut_ptr, ctypes.c_int64(lut_len),
+        _ptr(out_off), _ptr(pos), _ptr(base),
         _ptr(qual), _ptr(read), counts_ptr, ctypes.c_int64(L),
         ctypes.c_int(min_base_qual), ctypes.c_int(n_threads))
     obs = (pos, base, qual, read)

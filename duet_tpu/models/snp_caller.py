@@ -261,6 +261,38 @@ def pileup_with_counts(cr: ContigReads, cfg: SnpCallConfig, length: int):
                                   cfg.min_base_qual)
 
 
+def call_contig_snps(contig: str, cr: ContigReads, ref_codes: np.ndarray,
+                     cfg: SnpCallConfig):
+    """(ContigSnps, at-site observation stream) for one contig — the SNP
+    stage's full unit of work.
+
+    Native fast path (counts/nn models): pass A accumulates the (L, 4)
+    count image WITHOUT materializing the per-base stream, the caller runs
+    on the counts, and pass B emits only the observations landing on the
+    called sites — for a 1 Mb 15x contig that replaces a 15.8M-row
+    observation array (plus its searchsorted site filter) with a ~40k-row
+    one.  The device model and the no-native fallback keep the full-stream
+    path; every path is output-identical (tests pin it)."""
+    if cfg.model in ("counts", "nn") and not cfg.device:
+        try:
+            from duet_tpu.io.native_ingest import (
+                pileup_counts_native,
+                pileup_obs_native,
+            )
+
+            counts = pileup_counts_native(cr, cfg.min_mapq,
+                                          cfg.min_base_qual, len(ref_codes))
+            snps = call_snps_any(contig, counts, ref_codes, cfg)
+            site_obs, _ = pileup_obs_native(cr, cfg.min_mapq,
+                                            site_pos=snps.pos)
+            return snps, site_obs
+        except Exception:
+            pass
+    obs, counts = pileup_with_counts(cr, cfg, len(ref_codes))
+    snps = snp_call_observations(contig, obs, ref_codes, cfg, counts=counts)
+    return snps, filter_observations_to_sites(*obs, snps.pos)
+
+
 def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
                         cfg: SnpCallConfig | None = None, threads: int = 1):
     """ref_codes: per-contig uint8 base-code arrays (FastaFile.fetch_codes).
@@ -275,10 +307,7 @@ def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
 
     def one(item):
         contig, cr = item
-        codes = ref_codes[contig]
-        obs, counts = pileup_with_counts(cr, cfg, len(codes))
-        snps = snp_call_observations(contig, obs, codes, cfg, counts=counts)
-        site_obs = filter_observations_to_sites(*obs, snps.pos)
+        snps, site_obs = call_contig_snps(contig, cr, ref_codes[contig], cfg)
         return contig, snps, site_obs
 
     work = [(c, cr) for c, cr in store.contigs.items() if c in ref_codes]

@@ -626,17 +626,10 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             fa_name = aliases[cr.contig] if aliases[cr.contig] in st.ref.index \
                 else cr.contig
             codes = st.ref.fetch_codes(fa_name)
-            from duet_tpu.models.snp_caller import (
-                filter_observations_to_sites,
-                pileup_with_counts,
-                snp_call_observations,
-            )
+            from duet_tpu.models.snp_caller import call_contig_snps
 
-            obs, counts = pileup_with_counts(cr, cfg.snp_cfg(), len(codes))
-            snps = snp_call_observations(cr.contig, obs, codes, cfg.snp_cfg(),
-                                         counts=counts)
-            site_obs = filter_observations_to_sites(*obs, snps.pos)
-            del obs
+            snps, site_obs = call_contig_snps(cr.contig, cr, codes,
+                                              cfg.snp_cfg())
             snps_all[cr.contig] = snps
             # cross-contig breakend evidence survives the contig's release
             calls_all[cr.contig], bnd_evidence[cr.contig] = \

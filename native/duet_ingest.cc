@@ -549,16 +549,69 @@ void duet_bam_close(void* h) { delete static_cast<Reader*>(h); }
 // parallel over read slices with per-thread count buffers.
 // ---------------------------------------------------------------------------
 
-void duet_pileup_sizes(int64_t n_reads, const uint8_t* mapq, int min_mapq,
+// Count-only pass: accumulate the (L, 4) allele-count image without
+// materializing the observation arrays at all (the SNP stage only needs
+// counts plus the at-site observations, which a later lut-filtered fill
+// emits — the full per-base stream never exists).
+void duet_pileup_counts_only(int64_t n_reads, const int64_t* starts,
+                             const uint8_t* mapq, int min_mapq,
+                             const int64_t* cigar_off,
+                             const int8_t* cigar_ops,
+                             const int32_t* cigar_lens,
+                             const int64_t* seq_off, const uint8_t* seq,
+                             const uint8_t* quals, int32_t* counts,
+                             int64_t L, int min_base_qual) {
+  for (int64_t i = 0; i < n_reads; ++i) {
+    if (mapq[i] < min_mapq) continue;
+    int64_t ref = starts[i];
+    int64_t q = seq_off[i];
+    for (int64_t k = cigar_off[i]; k < cigar_off[i + 1]; ++k) {
+      int8_t op = cigar_ops[k];
+      int32_t len = cigar_lens[k];
+      bool is_match = (op == 0 || op == 7 || op == 8);
+      bool takes_ref = is_match || op == 2 || op == 3;
+      bool takes_q = is_match || op == 1 || op == 4;
+      if (is_match && len > 0) {
+        for (int32_t b = 0; b < len; ++b) {
+          uint8_t base = seq[q + b];
+          if (base < 4 && quals[q + b] >= min_base_qual && ref + b < L)
+            ++counts[(ref + b) * 4 + base];
+        }
+      }
+      if (takes_ref) ref += len;
+      if (takes_q) q += len;
+    }
+  }
+}
+
+// site_lut: optional (nullable) byte mask over reference positions — when
+// given, only bases landing on lut-true positions are sized/emitted (the
+// at-site slice the phasing stage consumes).
+void duet_pileup_sizes(int64_t n_reads, const int64_t* starts,
+                       const uint8_t* mapq, int min_mapq,
                        const int64_t* cigar_off, const int8_t* cigar_ops,
-                       const int32_t* cigar_lens, int64_t* out_per_read) {
+                       const int32_t* cigar_lens,
+                       const uint8_t* site_lut, int64_t lut_len,
+                       int64_t* out_per_read) {
   for (int64_t i = 0; i < n_reads; ++i) {
     int64_t total = 0;
     if (mapq[i] >= min_mapq) {
+      int64_t ref = starts[i];
       for (int64_t k = cigar_off[i]; k < cigar_off[i + 1]; ++k) {
         int8_t op = cigar_ops[k];
-        if ((op == 0 || op == 7 || op == 8) && cigar_lens[k] > 0)
-          total += cigar_lens[k];
+        int32_t len = cigar_lens[k];
+        bool is_match = (op == 0 || op == 7 || op == 8);
+        if (is_match && len > 0) {
+          if (!site_lut) {
+            total += len;
+          } else {
+            for (int32_t b = 0; b < len; ++b) {
+              int64_t p = ref + b;
+              if (p < lut_len && site_lut[p]) ++total;
+            }
+          }
+        }
+        if (is_match || op == 2 || op == 3) ref += len;
       }
     }
     out_per_read[i] = total;
@@ -570,6 +623,7 @@ void duet_pileup_fill(int64_t n_reads, const int64_t* starts,
                       const int64_t* cigar_off, const int8_t* cigar_ops,
                       const int32_t* cigar_lens, const int64_t* seq_off,
                       const uint8_t* seq, const uint8_t* quals,
+                      const uint8_t* site_lut, int64_t lut_len,  // nullable
                       const int64_t* out_off,  // (n_reads+1,) prefix sums
                       int32_t* out_pos, uint8_t* out_base, uint8_t* out_qual,
                       int32_t* out_read,
@@ -591,7 +645,9 @@ void duet_pileup_fill(int64_t n_reads, const int64_t* starts,
         bool takes_q = is_match || op == 1 || op == 4;
         if (is_match && len > 0) {
           for (int32_t b = 0; b < len; ++b) {
-            out_pos[out] = static_cast<int32_t>(ref + b);
+            int64_t p = ref + b;
+            if (site_lut && (p >= lut_len || !site_lut[p])) continue;
+            out_pos[out] = static_cast<int32_t>(p);
             out_base[out] = seq[q + b];
             out_qual[out] = quals[q + b];
             out_read[out] = static_cast<int32_t>(i);
