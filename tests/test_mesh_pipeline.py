@@ -71,3 +71,27 @@ def test_mesh_rejects_oversubscription(sim_dataset, tmp_path):
     data_dir, _, _ = sim_dataset
     with pytest.raises(ValueError, match="devices"):
         _run(data_dir, str(tmp_path / "over"), mesh="16,2")
+
+
+def test_streaming_mesh_matches_batch(tmp_path):
+    """Streaming mode composes with the device mesh: byte-identical
+    phased_sv.vcf to the plain batch single-device run."""
+    from duet_tpu.pipeline import run_pipeline_streaming
+    from duet_tpu.sim import SimConfig, simulate_dataset
+
+    d = tmp_path / "data"
+    d.mkdir()
+    simulate_dataset(str(d), SimConfig(contigs={"chrA": 120_000,
+                                                "chrB": 120_000},
+                                       seed=23, coverage=14.0))
+    base = _run(str(d), str(tmp_path / "batch"), include_all_ctgs=True)
+    cfg = PipelineConfig(
+        bam=f"{d}/reads.bam", reference=f"{d}/ref.fa",
+        output=str(tmp_path / "stream_mesh"), include_all_ctgs=True,
+        mesh="4,2",
+    )
+    run_pipeline_streaming(cfg)
+    got = _read(str(tmp_path / "stream_mesh" / "phased_sv.vcf"))
+    assert got == _read(os.path.join(base, "phased_sv.vcf"))
+    assert sum(1 for ln in got.decode().splitlines()
+               if ln and not ln.startswith("#")) > 0
