@@ -475,6 +475,21 @@ int32_t duet_bam_next_contig(void* h) {
     uint16_t flag;
     std::memcpy(&flag, r + 14, 2);
     uint8_t mapq = r[9];
+    // validate the claimed field sizes against the record length before
+    // anything dereferences them (fill_columns trusts these offsets)
+    uint16_t n_cigar_chk;
+    std::memcpy(&n_cigar_chk, r + 12, 2);
+    int32_t l_seq_chk;
+    std::memcpy(&l_seq_chk, r + 16, 4);
+    uint8_t l_name_chk = r[8];
+    if (l_seq_chk < 0 || l_name_chk == 0 ||
+        32ull + l_name_chk + 4ull * n_cigar_chk +
+            (static_cast<uint64_t>(l_seq_chk) + 1) / 2 +
+            static_cast<uint64_t>(l_seq_chk) >
+            static_cast<uint64_t>(block_size)) {
+      rd->error = "malformed BAM record (field sizes exceed record)";
+      return -2;
+    }
     bool keep = !(flag & kSkipFlags) && ref_id >= 0 && mapq >= rd->min_mapq &&
                 (rd->want.empty() ||
                  (static_cast<size_t>(ref_id) < rd->want.size() && rd->want[ref_id]));

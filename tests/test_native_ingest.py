@@ -138,3 +138,43 @@ def test_rolling_buffer_compaction(tmp_path):
         np.testing.assert_array_equal(a.starts, b.starts)
         np.testing.assert_array_equal(a.seq, b.seq)
         np.testing.assert_array_equal(a.cigar_lens, b.cigar_lens)
+
+
+def test_corrupt_inputs_raise_cleanly(tmp_path, sim_dataset):
+    """Truncated/garbage inputs surface as ValueError, never a crash."""
+    from duet_tpu.io.native_ingest import stream_read_store_native
+
+    out, _, _ = sim_dataset
+    with open(f"{out}/reads.bam", "rb") as f:
+        data = f.read()
+
+    garbage = tmp_path / "garbage.bam"
+    garbage.write_bytes(b"\x00" * 512)
+    with pytest.raises(ValueError):
+        list(stream_read_store_native(str(garbage)))
+
+    # BGZF-valid but record-corrupt: flip bytes inside a record region by
+    # re-compressing a mangled inflated stream
+    import gzip
+    import struct
+
+    from duet_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+    with BgzfReader(f"{out}/reads.bam") as r:
+        raw = r.read()
+    raw = bytearray(raw)
+    # find first record after header and corrupt its l_read_name/sizes
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    off = 8 + l_text
+    n_ref = struct.unpack("<i", raw[off:off + 4])[0]
+    off += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", raw[off:off + 4])[0]
+        off += 8 + l_name
+    # block_size stays; claim an enormous l_seq
+    raw[off + 4 + 16:off + 4 + 20] = struct.pack("<i", 2**30)
+    bad = tmp_path / "bad.bam"
+    with BgzfWriter(str(bad)) as w:
+        w.write(bytes(raw))
+    with pytest.raises(ValueError, match="malformed|truncated"):
+        list(stream_read_store_native(str(bad)))
