@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default) or the neural pileup caller "
                         "(models/nn_snp.py — the MXU analogue of Clair3's "
                         "pileup network)")
+    p.add_argument("--min-junction-evidence", type=float, default=0.0,
+                   metavar="E",
+                   help="end phase-set blocks at junctions whose converged "
+                        "spanning evidence is below E (capped at the "
+                        "block's median/20): trades SV-calling recall in "
+                        "the two-phase-set regime for phasing precision at "
+                        "weak junctions (measured at 10x: phasing F1 "
+                        "+0.05, calling F1 -0.03 with E=2000; docs/"
+                        "PC_SCALE.md). 0 disables (default)")
     p.add_argument("--haplotag-bam", action="store_true",
                    help="also write per-contig haplotagged BAMs with "
                         "HP/PC/PS tags (reference artifact parity)")
@@ -122,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         haplotag_bam=args.haplotag_bam,
         snp_model=args.snp_model,
         phase_bnd=args.phase_bnd,
+        min_junction_evidence=args.min_junction_evidence,
         coordinator=args.coordinator,
         num_processes=args.num_processes,
         process_id=args.process_id,

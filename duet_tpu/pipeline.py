@@ -67,6 +67,10 @@ class PipelineConfig:
     phase_bnd: bool = False             # genotype+phase breakends too (the
                                         # reference drops them at the SVLEN
                                         # filter, sv_phasing_fn.py:189)
+    min_junction_evidence: float = 0.0  # split phase-set blocks at weak
+                                        # junctions (phasing precision vs
+                                        # calling recall; measured sweep in
+                                        # docs/PC_SCALE.md)
     # multi-process (multi-host) run: contigs are round-robin owned per
     # process, stage outputs exchanged as part-files on the shared
     # filesystem, process 0 is the single writer of the final artifacts
@@ -373,7 +377,8 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
         cr = st.store.contigs[contig]
         result = phase_contig(cr, snps, cfg.snp_cfg(),
                               use_device=cfg.use_device_kernel,
-                              obs=st.site_obs.get(contig), mesh=st.mesh)
+                              obs=st.site_obs.get(contig), mesh=st.mesh,
+                              min_junction_evidence=cfg.min_junction_evidence)
         return contig, snps, cr, result
 
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
@@ -636,7 +641,8 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
                 call_contig_with_evidence(cr, cfg.sv_cfg(), mesh=st.mesh)
             result = phase_contig(cr, snps, cfg.snp_cfg(),
                                   use_device=cfg.use_device_kernel,
-                                  obs=site_obs, mesh=st.mesh)
+                                  obs=site_obs, mesh=st.mesh,
+                                  min_junction_evidence=cfg.min_junction_evidence)
             st.read_haps[cr.contig] = read_hap_map(cr, result)
             write_phased_snp_vcf(
                 os.path.join(ph_dir, f"phased_{cr.contig}.vcf.gz"),

@@ -167,3 +167,49 @@ def test_split_preserves_gap_containing_blocks():
     # block 1 split exactly at the weak junction
     assert new_id[5] == new_id[8] and new_id[9] == new_id[12]
     assert new_id[8] != new_id[9]
+
+
+def test_min_junction_evidence_splits_blocks():
+    """A synthetic weak junction: two well-covered site groups joined by a
+    single low-quality spanning read.  With the splitting enabled the block
+    ends at the weak junction; with it disabled one block spans all sites.
+    Phases within each side are unchanged either way."""
+    import numpy as np
+
+    from duet_tpu.models.snp_phaser import (
+        AlleleMatrix,
+        _initial_phase,
+        _split_weak_junctions,
+    )
+
+    m = 40
+    rows, cols, alleles, weights = [], [], [], []
+    rid = 0
+    # systematic tiling inside each half: a read starting at every site
+    for lo, hi in ((0, 20), (20, 40)):
+        for a in range(lo, hi - 1):
+            for c in range(a, min(a + 8, hi)):
+                rows.append(rid)
+                cols.append(c)
+                alleles.append(1 if (c % 2 == 0) else -1)
+                weights.append(35.0)
+            rid += 1
+    # one weak bridge read
+    for c in (18, 19, 20, 21):
+        rows.append(rid)
+        cols.append(c)
+        alleles.append(1 if (c % 2 == 0) else -1)
+        weights.append(10.0)
+    rid += 1
+    am = AlleleMatrix(
+        n_reads=rid, n_sites=m,
+        site_pos=np.arange(100, 100 + m * 50, 50, dtype=np.int64),
+        row=np.array(rows, np.int32), col=np.array(cols, np.int32),
+        allele=np.array(alleles, np.int8),
+        weight=np.array(weights, np.float32),
+    )
+    phase, block_id, block_ps = _initial_phase(am)
+    assert block_id.max() == 0  # bridged: one block without splitting
+    new_id, new_ps = _split_weak_junctions(am, phase, block_id, min_e=5000.0)
+    assert new_ps is not None and len(new_ps) >= 2
+    assert new_id[0] != new_id[m - 1]
