@@ -344,21 +344,14 @@ def extract_split_signatures(cr: ContigReads, cfg: SvCallConfig,
 
 
 def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int,
-                      mesh=None):
-    """Sorted chain clustering via the shared segment-reduce formulation
-    (duet_tpu.ops.cluster) -> list of (call_pos, call_len, member_rows),
-    member_rows indexing the input signature arrays.
-
-    Three bit-identical backends: host numpy (default), the jitted device
-    kernel (cfg.device — pow2-padded shapes so compiles stay bucketed), or
-    the coordinate-sharded mesh kernel (`mesh` — ppermute halos over the
-    sp axis, SURVEY.md §2.4)."""
-    from duet_tpu.ops.cluster import (
-        GAP,
-        SPAN,
-        cluster_device_to_host,
-        cluster_host,
-    )
+                      mesh):
+    """Mesh-sharded single-type clustering (coordinate halos over the sp
+    axis, duet_tpu.parallel.shard_cluster) -> list of (call_pos, call_len,
+    member_rows), member_rows indexing the input signature arrays.  The
+    host and single-device backends go through the one-pass multi-type
+    path in _all_clusters instead."""
+    from duet_tpu.ops.cluster import GAP, SPAN
+    from duet_tpu.parallel.shard_cluster import cluster_sharded
 
     k = len(pos)
     if k == 0:
@@ -366,19 +359,8 @@ def _cluster_one_type(pos, length, read_idx, cfg: SvCallConfig, svtype: int,
     num, den = cmd_as_rational(cfg.cluster_max_distance)
     max_dist = cfg.max_dist_ins if svtype == SVTYPE_INS else cfg.max_dist_del
     linkage = SPAN if cfg.linkage == "span" else GAP
-    if mesh is not None:
-        from duet_tpu.parallel.shard_cluster import cluster_sharded
-
-        call_pos, call_len, support, count, seg_of_input = cluster_sharded(
-            mesh, pos, length, read_idx, linkage, max_dist, num, den)
-    elif cfg.device:
-        call_pos, call_len, support, count, seg_of_input = \
-            cluster_device_to_host(pos, length, read_idx, linkage, max_dist,
-                                   num, den)
-    else:
-        call_pos, call_len, support, count, seg_of_input = cluster_host(
-            pos, length, read_idx, linkage, max_dist, num, den,
-        )
+    call_pos, call_len, support, count, seg_of_input = cluster_sharded(
+        mesh, pos, length, read_idx, linkage, max_dist, num, den)
     order = np.argsort(seg_of_input, kind="stable")
     bounds = np.zeros(len(call_pos) + 1, dtype=np.int64)
     np.cumsum(count, out=bounds[1:])
