@@ -544,8 +544,16 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 def phase_contig(cr: ContigReads, snps: ContigSnps,
                  cfg: SnpCallConfig | None = None, sweeps: int = 2,
                  use_device: bool = False, obs=None,
-                 min_junction_evidence: float = 0.0, mesh=None) -> PhaseResult:
+                 min_junction_evidence: float = 0.0, mesh=None,
+                 device_min_nnz: int = 0) -> PhaseResult:
+    """device_min_nnz: auto size gate for the device refine/scoring — below
+    this many allele-matrix entries the host sparse path wins (the kernels
+    are latency-bound round-trips at small sizes; bit-identical either
+    way).  0 = always use the device when use_device; an explicit mesh
+    always uses it (the mesh is an explicit opt-in)."""
     am = build_allele_matrix(cr, snps, cfg, obs=obs)
+    if mesh is None and len(am.row) < device_min_nnz:
+        use_device = False
     phase, block_id, block_ps = _initial_phase(am)
     if use_device:
         from duet_tpu.ops.sparse_power import power_refine_device as refine

@@ -112,6 +112,13 @@ class PipelineConfig:
         way — the parity tests pin it)."""
         return self.use_device_kernel and self.device_stages == "on"
 
+    def phasing_device_min_nnz(self) -> int:
+        """Size gate for the phasing stage's device kernels: below ~1M
+        allele-matrix entries the host sparse path beats the per-call
+        device round-trips (bit-identical outputs either way).
+        --device-stages on forces the device path at any size."""
+        return 0 if self.device_stages == "on" else 1_000_000
+
     def snp_cfg(self) -> SnpCallConfig:
         return SnpCallConfig(min_af=self.min_allele_frequency,
                              model=self.snp_model,
@@ -378,7 +385,8 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
         result = phase_contig(cr, snps, cfg.snp_cfg(),
                               use_device=cfg.use_device_kernel,
                               obs=st.site_obs.get(contig), mesh=st.mesh,
-                              min_junction_evidence=cfg.min_junction_evidence)
+                              min_junction_evidence=cfg.min_junction_evidence,
+                              device_min_nnz=cfg.phasing_device_min_nnz())
         return contig, snps, cr, result
 
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
@@ -642,7 +650,8 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             result = phase_contig(cr, snps, cfg.snp_cfg(),
                                   use_device=cfg.use_device_kernel,
                                   obs=site_obs, mesh=st.mesh,
-                                  min_junction_evidence=cfg.min_junction_evidence)
+                                  min_junction_evidence=cfg.min_junction_evidence,
+                                  device_min_nnz=cfg.phasing_device_min_nnz())
             st.read_haps[cr.contig] = read_hap_map(cr, result)
             write_phased_snp_vcf(
                 os.path.join(ph_dir, f"phased_{cr.contig}.vcf.gz"),
@@ -780,6 +789,14 @@ def run_pipeline(cfg: PipelineConfig) -> str:
     if st.mesh is not None:
         metrics["mesh"] = {"dp": int(st.mesh.shape["dp"]),
                            "sp": int(st.mesh.shape["sp"])}
+    if cfg.device_stages == "auto":
+        # auto device backends are size-gated: inputs below these floors run
+        # on the host (bit-identical), because kernel round-trip/compile
+        # latency only amortizes on large inputs
+        metrics["device_size_gates"] = {
+            "sv_cluster_min_signatures": cfg.sv_cfg().device_min_k,
+            "phasing_min_nnz": cfg.phasing_device_min_nnz(),
+        }
     metrics["counts"]["snp_sites"] = sum(len(s.pos) for s in st.snps.values())
     metrics["counts"]["tagged_reads"] = sum(
         len(m) for m in st.read_haps.values()
