@@ -546,9 +546,15 @@ def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
             if contig == name or strip_chr(contig) == strip_chr(name):
                 read_haps[name] = m
                 break
+    # decision-stage device gate, same policy as the other stages: the
+    # kernel is latency-bound below tens of thousands of calls (host float64
+    # path is bit-identical); --device-stages on forces it at any size
+    n_calls = sum(len(v) for v in per_chrom.values())
+    decide_on_device = cfg.use_device_kernel and (
+        cfg.device_stages == "on" or n_calls >= 65536)
     phased = sv_phaser.phase_callset(
         per_chrom, read_haps, cfg.sv_min_size, cfg.min_support_read,
-        use_device=cfg.use_device_kernel, phase_bnd=cfg.phase_bnd,
+        use_device=decide_on_device, phase_bnd=cfg.phase_bnd,
     )
     write_phased_sv_header(variants, artifact, cfg.include_all_ctgs)
     append_phased_sv_records(phased, artifact)

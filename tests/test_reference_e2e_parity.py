@@ -145,7 +145,10 @@ def run_framework(home: str, vcf_text: str, contigs, read_hap,
                 f.write(f"{name}\t{hap}\t{ps}\t{pc}\n")
     cfg = PipelineConfig(bam="", reference="", output=home,
                          sv_min_size=50, min_support_read=2,
-                         use_device_kernel=use_device)
+                         use_device_kernel=use_device,
+                         # force past the auto size gate so the device
+                         # decision kernel is actually exercised here
+                         device_stages="on" if use_device else "auto")
     return run_phase_only(cfg)
 
 
