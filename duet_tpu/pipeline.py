@@ -526,7 +526,20 @@ def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     artifact = os.path.join(cfg.output, "phased_sv.vcf")
     if not os.path.exists(variants):
         raise FileNotFoundError(f"sv_calling artifact missing: {variants}")
-    per_chrom = parse_sv_vcf(variants, cfg.include_all_ctgs)
+    # -a contig list comes from the SNP-calling artifact when present —
+    # the reference's init_chrom_list runs `tabix --list-chroms` on
+    # snp_calling/pileup.vcf.gz (read_file.py:13-15), so a contig with SV
+    # calls but no pileup entry is skipped; fall back to the variants
+    # file's own contigs when the pileup artifact is absent
+    chrom_list = None
+    if cfg.include_all_ctgs:
+        pileup = os.path.join(cfg.output, "snp_calling", "pileup.vcf.gz")
+        if os.path.exists(pileup):
+            from duet_tpu.io.vcf import list_chroms
+
+            chrom_list = list_chroms(pileup)
+    per_chrom = parse_sv_vcf(variants, cfg.include_all_ctgs,
+                             chrom_list=chrom_list)
     have = {strip_chr(c) for c in st.read_haps}
     missing = [c for c in per_chrom if strip_chr(c) not in have]
     if missing:

@@ -90,15 +90,19 @@ def synth_scenario(seed: int):
 
 
 class _FakeSamtools:
-    """Stand-in for the subprocess module inside the reference's
-    sv_phasing_fn: renders `samtools view <bam>` output from the haplotag
-    map, with HP/PC/PS as the last three tags (the positional layout the
-    reference parses, sv_phasing_fn.py:28-29)."""
+    """Stand-in for the subprocess module inside the reference's modules:
+    renders `samtools view <bam>` output from the haplotag map, with
+    HP/PC/PS as the last three tags (the positional layout the reference
+    parses, sv_phasing_fn.py:28-29), and answers `tabix --list-chroms`
+    (read_file.py:15, the -a contig-list source) from a fixed list."""
 
-    def __init__(self, read_hap_by_contig):
+    def __init__(self, read_hap_by_contig, chrom_list=None):
         self.maps = read_hap_by_contig
+        self.chrom_list = chrom_list or []
 
     def check_output(self, argv):
+        if argv[0] == "tabix":
+            return ("".join(c + "\n" for c in self.chrom_list)).encode()
         path = argv[-1]
         stem = os.path.basename(path)[:-4]  # strip .bam
         m = self.maps.get(stem) or self.maps.get("chr" + stem) or {}
@@ -112,8 +116,10 @@ class _FakeSamtools:
 
 
 def run_reference(ref_modules, home: str, vcf_text: str, contigs, read_hap,
-                  monkeypatch) -> str:
+                  monkeypatch, all_ctgs: bool = False) -> str:
     fn, wf = ref_modules
+    import duet.read_file as rf
+
     os.makedirs(os.path.join(home, "sv_calling"), exist_ok=True)
     ph = os.path.join(home, "snp_phasing")
     os.makedirs(ph, exist_ok=True)
@@ -122,16 +128,19 @@ def run_reference(ref_modules, home: str, vcf_text: str, contigs, read_hap,
         f.write(vcf_text)
     for c in contigs:  # read_hap_bam only opens BAMs that exist on disk
         open(os.path.join(ph, f"{c}.bam"), "wb").close()
-    monkeypatch.setattr(fn, "subprocess", _FakeSamtools(read_hap))
+    fake = _FakeSamtools(read_hap, chrom_list=list(contigs))
+    monkeypatch.setattr(fn, "subprocess", fake)
+    monkeypatch.setattr(rf, "subprocess", fake)  # -a: tabix --list-chroms
     out = os.path.join(home, "phased_sv.vcf")
-    wf.print_sv_header(variants, out, False)
-    callset = fn.generate_phased_callset(variants, ph + "/", 50, 2, 1, False)
+    wf.print_sv_header(variants, out, all_ctgs)
+    callset = fn.generate_phased_callset(variants, ph + "/", 50, 2, 1,
+                                         all_ctgs)
     wf.print_sv(callset, out)
     return out
 
 
 def run_framework(home: str, vcf_text: str, contigs, read_hap,
-                  use_device: bool) -> str:
+                  use_device: bool, all_ctgs: bool = False) -> str:
     from duet_tpu.pipeline import PipelineConfig, run_phase_only
 
     os.makedirs(os.path.join(home, "sv_calling"), exist_ok=True)
@@ -143,9 +152,22 @@ def run_framework(home: str, vcf_text: str, contigs, read_hap,
         with open(os.path.join(ph, f"{c}.haplotags.tsv"), "w") as f:
             for name, (hap, ps, pc) in read_hap[c].items():
                 f.write(f"{name}\t{hap}\t{ps}\t{pc}\n")
+    if all_ctgs:
+        # the -a contig list comes from the SNP-calling artifact (the
+        # reference tabix-lists pileup.vcf.gz); synthesize one whose
+        # data-line contig order matches the fake tabix's answer
+        from duet_tpu.io.vcf import write_vcf
+
+        os.makedirs(os.path.join(home, "snp_calling"), exist_ok=True)
+        header = ["##fileformat=VCFv4.2",
+                  "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
+        recs = [f"{c}\t100\t.\tA\tC\t.\tPASS\t.\tGT\t0/1" for c in contigs]
+        write_vcf(os.path.join(home, "snp_calling", "pileup.vcf.gz"),
+                  header, recs)
     cfg = PipelineConfig(bam="", reference="", output=home,
                          sv_min_size=50, min_support_read=2,
                          use_device_kernel=use_device,
+                         include_all_ctgs=all_ctgs,
                          # force past the auto size gate so the device
                          # decision kernel is actually exercised here
                          device_stages="on" if use_device else "auto")
@@ -170,6 +192,31 @@ def test_phase_only_bytes_match_reference(ref_modules, tmp_path, monkeypatch,
                     if ln and not ln.startswith("#"))
     if seed == 0:
         assert n_records > 0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_phase_only_all_ctgs_matches_reference(ref_modules, tmp_path,
+                                               monkeypatch, seed):
+    """-a mode: the contig work list comes from the pileup artifact
+    (reference read_file.py:13-15 tabix-lists snp_calling/pileup.vcf.gz);
+    outputs must still be byte-identical, including non-standard contig
+    names the fixed chr1-22/X/Y list would drop."""
+    contigs, read_hap, vcf_text = synth_scenario(seed + 100)
+    # rename one contig to a non-standard name both sides must keep
+    alias = {contigs[0]: "chrUn_KI270742v1"}
+    contigs = [alias.get(c, c) for c in contigs]
+    read_hap = {alias.get(c, c): m for c, m in read_hap.items()}
+    for old, new in alias.items():
+        vcf_text = vcf_text.replace(old + "\t", new + "\t")
+    ref_out = run_reference(ref_modules, str(tmp_path / "ref"), vcf_text,
+                            contigs, read_hap, monkeypatch, all_ctgs=True)
+    got_out = run_framework(str(tmp_path / "got"), vcf_text, contigs,
+                            read_hap, use_device=False, all_ctgs=True)
+    with open(ref_out, "rb") as f:
+        want = f.read()
+    with open(got_out, "rb") as f:
+        got = f.read()
+    assert got == want
 
 
 def test_reference_parity_emits_calls(ref_modules, tmp_path, monkeypatch):
