@@ -186,7 +186,12 @@ def stream_read_store_native(bam_path: str, min_mapq: int = 0,
         }
         if only_contigs is not None:
             ids = [i for i, nm in enumerate(ref_names) if nm in only_contigs]
-            arr = (ctypes.c_int32 * max(len(ids), 1))(*ids)
+            if not ids:
+                # an explicit filter matching nothing keeps NOTHING (e.g. a
+                # multi-process run with more processes than contigs); the
+                # C API treats n == 0 as "reset", so return before decoding
+                return
+            arr = (ctypes.c_int32 * len(ids))(*ids)
             lib.duet_bam_set_filter(ctypes.c_void_p(h), arr, len(ids))
         while True:
             rid = lib.duet_bam_next_contig(h)
@@ -201,6 +206,22 @@ def stream_read_store_native(bam_path: str, min_mapq: int = 0,
         lib.duet_bam_close(ctypes.c_void_p(h))
 
 
+def bam_contig_lengths_native(bam_path: str) -> dict[str, int]:
+    """Header contig lengths without decoding any records."""
+    lib = get_lib()
+    h = lib.duet_bam_open(bam_path.encode(), 0, 1)
+    try:
+        err = lib.duet_bam_error(h)
+        if err:
+            raise ValueError(f"{bam_path}: {err.decode()}")
+        return {
+            lib.duet_bam_ref_name(h, i).decode(): lib.duet_bam_ref_length(h, i)
+            for i in range(lib.duet_bam_n_refs(h))
+        }
+    finally:
+        lib.duet_bam_close(ctypes.c_void_p(h))
+
+
 def load_read_store_native(bam_path: str, min_mapq: int = 0,
                            n_threads: int | None = None,
                            only_contigs: set[str] | None = None) -> ReadStore:
@@ -209,7 +230,9 @@ def load_read_store_native(bam_path: str, min_mapq: int = 0,
     stream segments (non-coordinate-sorted input) is concatenated and
     re-sorted, matching readstore.load_read_store."""
     parts: dict[str, list[ContigReads]] = {}
-    contig_lengths: dict[str, int] = {}
+    # header lengths survive even when the ownership filter keeps nothing
+    # (the Python reader keeps them too)
+    contig_lengths = bam_contig_lengths_native(bam_path)
     for cr, lengths in stream_read_store_native(
             bam_path, min_mapq, n_threads, only_contigs):
         contig_lengths = lengths

@@ -178,3 +178,22 @@ def test_corrupt_inputs_raise_cleanly(tmp_path, sim_dataset):
         w.write(bytes(raw))
     with pytest.raises(ValueError, match="malformed|truncated"):
         list(stream_read_store_native(str(bad)))
+
+
+def test_empty_contig_filter_keeps_nothing(sim_dataset):
+    """An ownership filter matching no contigs decodes nothing (a
+    multi-process run can own zero contigs when processes outnumber them);
+    the C filter API's n==0 means 'reset', so the wrapper must not pass it
+    through."""
+    from duet_tpu.io.native_ingest import (
+        load_read_store_native,
+        stream_read_store_native,
+    )
+
+    out, _, _ = sim_dataset
+    assert list(stream_read_store_native(f"{out}/reads.bam",
+                                         only_contigs={"nope"})) == []
+    store = load_read_store_native(f"{out}/reads.bam", only_contigs=set())
+    assert store.contigs == {}
+    # header contig lengths survive (Python-reader parity)
+    assert len(store.contig_lengths) > 0
