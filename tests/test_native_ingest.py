@@ -197,3 +197,36 @@ def test_empty_contig_filter_keeps_nothing(sim_dataset):
     assert store.contigs == {}
     # header contig lengths survive (Python-reader parity)
     assert len(store.contig_lengths) > 0
+
+
+def test_unsorted_bam_matches_python_loader(tmp_path):
+    """Non-coordinate-sorted input: the native loader re-sorts per contig
+    (and merges a contig split across stream segments), matching the
+    Python loader's pack_contig ordering."""
+    from duet_tpu.io.bam import BamHeader, BamRead, BamWriter
+    from duet_tpu.io.native_ingest import load_read_store_native
+    from duet_tpu.io.readstore import load_read_store
+
+    rng = np.random.default_rng(3)
+    names = ["c1", "c2"]
+    header = BamHeader("@HD\tVN:1.6\n@SQ\tSN:c1\tLN:50000\n"
+                       "@SQ\tSN:c2\tLN:50000\n", names, [50000, 50000])
+    path = str(tmp_path / "unsorted.bam")
+    with BamWriter(path, header) as w:
+        for i in range(80):
+            rid = int(rng.integers(0, 2))
+            pos = int(rng.integers(0, 45_000))
+            seq = rng.integers(0, 4, size=60).astype(np.uint8)
+            cigar = np.array([[0, 60]], np.int32)
+            w.write(BamRead(f"r{i}", 0, rid, pos, 60, cigar, seq,
+                            np.full(60, 30, np.uint8), {}))
+    py = load_read_store(path)
+    nat = load_read_store_native(path)
+    assert set(py.contigs) == set(nat.contigs)
+    for c in py.contigs:
+        a, b = py.contigs[c], nat.contigs[c]
+        assert a.names == b.names
+        for f in ("starts", "ends", "cigar_off", "cigar_ops", "cigar_lens",
+                  "seq_off", "seq", "qual"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                          err_msg=f"{c}.{f}")
