@@ -138,19 +138,25 @@ def save_params(path: str, params) -> None:
 def candidate_sites(counts: np.ndarray, ref_codes: np.ndarray,
                     min_depth: int = 3, min_alt: int = 2):
     """Cheap candidate gate (superset of the counting caller's cuts): the
-    network, not a frequency threshold, makes the final call."""
-    L = len(ref_codes)
-    depth = counts.sum(axis=1)
+    network, not a frequency threshold, makes the final call.
+
+    Two-phase like snp_caller.call_snps: a total-non-ref pre-filter picks
+    candidate rows, and the per-allele argmax runs only on those — no
+    (L, 4)-sized temporaries at chromosome scale."""
     ref_safe = np.minimum(ref_codes, 3).astype(np.int64)
-    idx = np.arange(L)
-    nonref = counts.copy()
-    nonref[idx, ref_safe] = -1
-    alt_code = nonref.argmax(axis=1)
-    alt_count = counts[idx, alt_code]
-    keep = ((depth >= min_depth) & (alt_count >= min_alt)
-            & (ref_codes < 4) & (alt_code != ref_safe))
-    pos = np.flatnonzero(keep).astype(np.int64)
-    return pos, alt_code[pos].astype(np.uint8), alt_count[pos], depth[pos]
+    depth_all = counts.sum(axis=1)
+    ref_count = np.take_along_axis(counts, ref_safe[:, None], axis=1)[:, 0]
+    cand = np.flatnonzero((depth_all >= min_depth)
+                          & (depth_all - ref_count >= min_alt)
+                          & (ref_codes < 4))
+    sub = counts[cand].copy()
+    sub[np.arange(len(cand)), ref_safe[cand]] = -1
+    alt_code = sub.argmax(axis=1)
+    alt_count = counts[cand, alt_code]
+    keep = (alt_count >= min_alt) & (alt_code != ref_safe[cand])
+    pos = cand[keep].astype(np.int64)
+    return (pos, alt_code[keep].astype(np.uint8), alt_count[keep],
+            depth_all[pos])
 
 
 def nn_call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,

@@ -140,33 +140,47 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
 
     Allele-frequency cuts are evaluated in exact integer form
     (alt * den >= depth * num) — identical on the device path
-    (duet_tpu.ops.pileup.call_sites)."""
-    L = len(ref_codes)
-    depth = counts.sum(axis=1)
+    (duet_tpu.ops.pileup.call_sites).
+
+    Two-phase for chromosome-scale L: a cheap pre-filter on total non-ref
+    evidence (a SUPERSET of the exact cuts: total non-ref >= the argmax
+    allele's count) selects candidate rows, and the per-allele argmax work
+    runs only on those — no (L, 4)-sized temporaries beyond the pre-filter
+    reductions."""
     ref_safe = np.minimum(ref_codes, 3).astype(np.int64)
-    idx = np.arange(L)
-    nonref = counts.copy()
-    nonref[idx, ref_safe] = -1
-    alt_code = nonref.argmax(axis=1)
-    alt_count = counts[idx, alt_code]
+    depth_all = counts.sum(axis=1)
+    ref_count = np.take_along_axis(counts, ref_safe[:, None], axis=1)[:, 0]
+    nonref_total = depth_all - ref_count
+    cand = np.flatnonzero(
+        (depth_all >= cfg.min_depth)
+        & (nonref_total >= cfg.min_alt_reads)
+        & (ref_codes < 4)
+    )
+    sub = counts[cand].copy()
+    m = len(cand)
+    sub[np.arange(m), ref_safe[cand]] = -1
+    alt_code = sub.argmax(axis=1)
+    alt_count = counts[cand, alt_code]
+    depth = depth_all[cand]
     af_num, af_den = _as_rational(cfg.min_af)
     hom_num, hom_den = _as_rational(cfg.hom_af)
-    is_site = (
-        (depth >= cfg.min_depth)
-        & (alt_count * af_den >= depth * af_num)
+    keep = (
+        (alt_count * af_den >= depth * af_num)
         & (alt_count >= cfg.min_alt_reads)
-        & (ref_codes < 4)
-        & (alt_code != ref_safe)
+        & (alt_code != ref_safe[cand])
     )
-    pos = np.flatnonzero(is_site).astype(np.int64)
+    pos = cand[keep].astype(np.int64)
+    alt_code = alt_code[keep]
+    alt_count = alt_count[keep]
+    depth = depth[keep]
     return ContigSnps(
         contig=contig,
         pos=pos,
         ref_code=ref_codes[pos].astype(np.uint8),
-        alt_code=alt_code[pos].astype(np.uint8),
-        is_het=alt_count[pos] * hom_den < depth[pos] * hom_num,
-        depth=depth[pos].astype(np.int32),
-        alt_count=alt_count[pos].astype(np.int32),
+        alt_code=alt_code.astype(np.uint8),
+        is_het=alt_count * hom_den < depth * hom_num,
+        depth=depth.astype(np.int32),
+        alt_count=alt_count.astype(np.int32),
     )
 
 
