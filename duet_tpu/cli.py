@@ -77,11 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="E",
                    help="end phase-set blocks at junctions whose converged "
                         "spanning evidence is below E (capped at the "
-                        "block's median/20): trades SV-calling recall in "
-                        "the two-phase-set regime for phasing precision at "
-                        "weak junctions (measured at 10x: phasing F1 "
-                        "+0.05, calling F1 -0.03 with E=2000; docs/"
-                        "PC_SCALE.md). 0 disables (default)")
+                        "block's median/20) — the WhatsHap-style phasing "
+                        "precision/contiguity trade. E=2000 measured at "
+                        "10-12x genome scale: phasing F1 +0.03..+0.06 for "
+                        "calling F1 -0.005; hurts at 8x (docs/PC_SCALE.md)."
+                        " 0 disables (default)")
     p.add_argument("--haplotag-bam", action="store_true",
                    help="also write per-contig haplotagged BAMs with "
                         "HP/PC/PS tags (reference artifact parity)")

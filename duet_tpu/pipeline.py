@@ -68,9 +68,15 @@ class PipelineConfig:
                                         # reference drops them at the SVLEN
                                         # filter, sv_phasing_fn.py:189)
     min_junction_evidence: float = 0.0  # split phase-set blocks at weak
-                                        # junctions (phasing precision vs
-                                        # calling recall; measured sweep in
-                                        # docs/PC_SCALE.md)
+                                        # junctions (min(this, block
+                                        # median/20)).  Off by default: at
+                                        # 10-12x genome scale it buys
+                                        # phasing F1 +0.03..+0.06 for
+                                        # calling -0.005, but at 8x a
+                                        # correct single-read-pair junction
+                                        # is indistinguishable from a wrong
+                                        # one and splits cost calling F1
+                                        # (docs/PC_SCALE.md)
     # multi-process (multi-host) run: contigs are round-robin owned per
     # process, stage outputs exchanged as part-files on the shared
     # filesystem, process 0 is the single writer of the final artifacts
