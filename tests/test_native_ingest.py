@@ -230,3 +230,57 @@ def test_unsorted_bam_matches_python_loader(tmp_path):
                   "seq_off", "seq", "qual"):
             np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
                                           err_msg=f"{c}.{f}")
+
+
+def test_pileup_exotic_cigar_ops(tmp_path):
+    """N (ref skip), P (padding), X/= (match variants), hard clips, and
+    leading insertions: native pileup == numpy pileup on all of them."""
+    from duet_tpu.io.bam import BamHeader, BamRead, BamWriter
+    from duet_tpu.io.native_ingest import load_read_store_native, pileup_obs_native
+    from duet_tpu.models.snp_caller import (
+        SnpCallConfig,
+        count_alleles,
+        pileup_observations,
+    )
+
+    header = BamHeader("@HD\tVN:1.6\n@SQ\tSN:c\tLN:5000\n", ["c"], [5000])
+    path = str(tmp_path / "exotic.bam")
+    rng = np.random.default_rng(8)
+
+    def rd(name, pos, cigar):
+        qlen = sum(int(l) for op, l in cigar if op in (0, 1, 4, 7, 8))
+        seq = rng.integers(0, 4, size=qlen).astype(np.uint8)
+        return BamRead(name, 0, 0, pos, 60,
+                       np.array(cigar, np.int32).reshape(-1, 2), seq,
+                       np.full(qlen, 30, np.uint8), {})
+
+    reads = [
+        rd("r_n", 100, [(0, 30), (3, 200), (0, 30)]),          # N skip
+        rd("r_pad", 150, [(0, 20), (6, 5), (0, 20)]),          # P padding
+        rd("r_eqx", 400, [(7, 25), (8, 5), (7, 20)]),          # =/X
+        rd("r_hard", 700, [(5, 40), (0, 50), (5, 10)]),        # hard clips
+        rd("r_leadins", 900, [(1, 12), (0, 40)]),              # leading I
+        rd("r_mix", 1200, [(4, 8), (0, 15), (2, 9), (0, 15), (1, 6),
+                           (0, 10), (4, 3)]),
+    ]
+    with BamWriter(path, header) as w:
+        for r in sorted(reads, key=lambda r: r.pos):
+            w.write(r)
+    store = load_read_store_native(path)
+    cr = store.contigs["c"]
+    cfg = SnpCallConfig()
+    want = pileup_observations(cr, cfg)
+    want_counts = count_alleles(want[0], want[1], want[2], 5000,
+                                cfg.min_base_qual)
+    (pos, base, qual, read), counts = pileup_obs_native(
+        cr, cfg.min_mapq, cfg.min_base_qual, 5000)
+    np.testing.assert_array_equal(pos, want[0])
+    np.testing.assert_array_equal(base, want[1])
+    np.testing.assert_array_equal(read, want[3])
+    np.testing.assert_array_equal(counts, want_counts)
+    # at-site filter parity on the exotic layout too
+    sites = np.array([110, 340, 405, 710, 910, 1215], np.int64)
+    (fp, fb, fq, fr), _ = pileup_obs_native(cr, cfg.min_mapq, site_pos=sites)
+    keep = np.isin(want[0], sites)
+    np.testing.assert_array_equal(fp, want[0][keep])
+    np.testing.assert_array_equal(fr, want[3][keep])
