@@ -108,9 +108,17 @@ def build_allele_matrix(cr: ContigReads, snps: ContigSnps,
                             z.astype(np.int8), z.astype(np.float32),
                             row_names=row_names)
 
-    positions, bases, quals, read_idx = (
-        obs if obs is not None else pileup_observations(cr, cfg)
-    )
+    if obs is None:
+        # no precomputed stream (e.g. --resume from a pileup artifact):
+        # extract just the at-site observations natively when possible —
+        # the full per-base stream never materializes
+        try:
+            from duet_tpu.io.native_ingest import pileup_obs_native
+
+            obs, _ = pileup_obs_native(cr, cfg.min_mapq, site_pos=site_pos)
+        except Exception:
+            obs = pileup_observations(cr, cfg)
+    positions, bases, quals, read_idx = obs
     read_idx = gid[read_idx]
     j = np.searchsorted(site_pos, positions)
     j_ok = (j < m)
