@@ -15,4 +15,11 @@ from duet_tpu.io.vcf import (
     read_vcf_lines,
 )
 from duet_tpu.io.bai import bam_query, write_bai
+from duet_tpu.io.readstore import (
+    ContigReads,
+    ReadStore,
+    load_read_store,
+    stream_contig_reads,
+    stream_contig_reads_auto,
+)
 from duet_tpu.io.tabix import query as tabix_query, write_tabix_index
