@@ -244,6 +244,18 @@ def load_read_store_native(bam_path: str, min_mapq: int = 0,
     return ReadStore(contigs, contig_lengths)
 
 
+def _check_contig_span(cr: ContigReads, length: int) -> None:
+    """Fail loudly when a read's alignment extends past the contig end —
+    the native pileup loops would silently drop those observations while
+    the host twin (models.snp_caller.count_alleles) raises; both backends
+    must fail the same way on malformed input."""
+    if cr.n and int(cr.ends.max()) > int(length):
+        raise ValueError(
+            f"{cr.contig}: read alignment ends at {int(cr.ends.max())}, "
+            f"beyond contig length {int(length)} (malformed BAM/FASTA pair)"
+        )
+
+
 def _pileup_cols(cr: ContigReads):
     return (np.ascontiguousarray(cr.starts, np.int64),
             np.ascontiguousarray(cr.mapq, np.uint8),
@@ -261,6 +273,7 @@ def pileup_counts_native(cr: ContigReads, min_mapq: int, min_base_qual: int,
     stream itself is never materialized (models.snp_caller.count_alleles
     parity, pinned by tests)."""
     lib = get_lib()
+    _check_contig_span(cr, length)
     starts, mapq, cigar_off, cigar_ops, cigar_lens, seq_off, seq, quals = \
         _pileup_cols(cr)
     counts = np.zeros(int(length) * 4, np.int32)
@@ -290,6 +303,8 @@ def pileup_obs_native(cr: ContigReads, min_mapq: int, min_base_qual: int = 0,
         raise ValueError("counts must come from the unfiltered stream: "
                          "use pileup_counts_native with site_pos filtering")
     lib = get_lib()
+    if length is not None:
+        _check_contig_span(cr, length)
     if n_threads is None:
         n_threads = max(os.cpu_count() or 1, 1)
     n = cr.n

@@ -120,10 +120,22 @@ def filter_observations_to_sites(positions, bases, quals, read_idx,
 
 
 def count_alleles(positions, bases, quals, length: int, min_base_qual: int) -> np.ndarray:
-    """(L, 4) allele counts; N bases and low-qual bases are dropped."""
+    """(L, 4) allele counts; N bases and low-qual bases are dropped.
+
+    An observation at or beyond `length` means a read extends past the
+    contig end (malformed input); fail loudly — the native twin
+    (io.native_ingest.pileup_counts_native) applies the same check so the
+    two backends never silently diverge."""
     keep = (bases < 4) & (quals >= min_base_qual)
+    pos_kept = positions[keep]
+    if len(pos_kept) and int(pos_kept.max()) >= length:
+        raise ValueError(
+            f"pileup observation at position {int(pos_kept.max())} beyond "
+            f"contig length {length}: read alignment extends past the "
+            "contig end (malformed BAM/FASTA pair)"
+        )
     dtype = np.int64 if length * 4 >= 2**31 else np.int32
-    key = positions[keep].astype(dtype) * 4 + bases[keep]
+    key = pos_kept.astype(dtype) * 4 + bases[keep]
     return np.bincount(key, minlength=length * 4).reshape(length, 4)
 
 
@@ -198,14 +210,24 @@ def _pow2(n: int) -> int:
     return 1 << max(n - 1, 0).bit_length()
 
 
+# device pileup window: the (window, 4) int32 count image is the largest
+# device buffer of the pileup kernel; 2^24 columns caps it at 256 MB so a
+# real 248 Mb chromosome streams through 15 fixed-shape windows instead of
+# materializing a 4 GiB image (shapes stay bucketed: one window geometry
+# plus pow2-padded observation counts)
+DEVICE_PILEUP_WINDOW = 1 << 24
+
+
 def call_snps_device(contig: str, obs, ref_codes: np.ndarray,
-                     cfg: SnpCallConfig) -> ContigSnps:
+                     cfg: SnpCallConfig,
+                     window: int = DEVICE_PILEUP_WINDOW) -> ContigSnps:
     """Counting + site calling fused on the device (duet_tpu.ops.pileup):
-    one scatter-add into the (L, 4) count image plus elementwise calling,
-    with observation count and contig length padded to powers of two so jit
-    shapes stay bucketed (one compile per shape family).  Bit-identical to
-    the host path: same exact-integer AF cuts, same first-index argmax.
-    """
+    one scatter-add per fixed-size contig window into its (W, 4) count image
+    plus elementwise calling, with observation count padded to powers of two
+    so jit shapes stay bucketed (one compile per shape family).
+    Bit-identical to the host path: same exact-integer AF cuts, same
+    first-index argmax; counting is positional, so windowing cannot change
+    any site's counts."""
     import jax.numpy as jnp
 
     from duet_tpu.ops.pileup import call_sites, pileup_counts
@@ -213,35 +235,64 @@ def call_snps_device(contig: str, obs, ref_codes: np.ndarray,
     positions, bases, quals, _ = obs
     L = len(ref_codes)
     k = len(positions)
-    Lpad = _pow2(max(L, 1))
-    kpad = _pow2(max(k, 1))
-    pos_p = np.zeros(kpad, dtype=np.int32)
-    bases_p = np.full(kpad, 4, dtype=np.int32)   # base=4 sentinel never counts
-    quals_p = np.zeros(kpad, dtype=np.int32)
-    pos_p[:k] = positions
-    bases_p[:k] = bases
-    quals_p[:k] = quals
-    ref_p = np.full(Lpad, 4, dtype=np.int32)     # ref=4 padding never calls
-    ref_p[:L] = ref_codes
-    counts = pileup_counts(jnp.asarray(pos_p), jnp.asarray(bases_p),
-                           jnp.asarray(quals_p), Lpad,
-                           jnp.int32(cfg.min_base_qual))
+    if k and int(positions.max()) >= L:
+        # mirror the host path's malformed-input failure (count_alleles);
+        # the device scatter would silently drop these observations
+        raise ValueError(
+            f"pileup observation at position {int(positions.max())} beyond "
+            f"contig length {L}: read alignment extends past the contig end"
+        )
+    Lw = min(_pow2(max(L, 1)), window)
     af_num, af_den = _as_rational(cfg.min_af)
     hom_num, hom_den = _as_rational(cfg.hom_af)
-    is_site, is_het, alt_code, depth, alt_count = call_sites(
-        counts, jnp.asarray(ref_p), jnp.int32(cfg.min_depth),
-        jnp.int32(af_num), jnp.int32(af_den),
-        jnp.int32(hom_num), jnp.int32(hom_den), jnp.int32(cfg.min_alt_reads))
-    pos = np.flatnonzero(np.asarray(is_site)).astype(np.int64)
-    alt_code = np.asarray(alt_code)[pos]
+    if L > Lw and k:
+        # observations arrive read-major; one stable position sort gives
+        # contiguous per-window slices
+        order = np.argsort(positions, kind="stable")
+        positions, bases, quals = positions[order], bases[order], quals[order]
+    parts = []
+    for lo in range(0, max(L, 1), Lw):
+        hi = min(lo + Lw, L)
+        if L > Lw and k:
+            o0 = int(np.searchsorted(positions, lo, "left"))
+            o1 = int(np.searchsorted(positions, hi, "left"))
+        else:
+            o0, o1 = 0, k
+        kw = o1 - o0
+        kpad = _pow2(max(kw, 1))
+        pos_p = np.zeros(kpad, dtype=np.int32)
+        bases_p = np.full(kpad, 4, dtype=np.int32)  # base=4 sentinel never counts
+        quals_p = np.zeros(kpad, dtype=np.int32)
+        pos_p[:kw] = positions[o0:o1] - lo
+        bases_p[:kw] = bases[o0:o1]
+        quals_p[:kw] = quals[o0:o1]
+        ref_p = np.full(Lw, 4, dtype=np.int32)      # ref=4 padding never calls
+        ref_p[: hi - lo] = ref_codes[lo:hi]
+        counts = pileup_counts(jnp.asarray(pos_p), jnp.asarray(bases_p),
+                               jnp.asarray(quals_p), Lw,
+                               jnp.int32(cfg.min_base_qual))
+        is_site, is_het, alt_code, depth, alt_count = call_sites(
+            counts, jnp.asarray(ref_p), jnp.int32(cfg.min_depth),
+            jnp.int32(af_num), jnp.int32(af_den),
+            jnp.int32(hom_num), jnp.int32(hom_den),
+            jnp.int32(cfg.min_alt_reads))
+        pos_w = np.flatnonzero(np.asarray(is_site)).astype(np.int64)
+        parts.append((
+            pos_w + lo,
+            np.asarray(alt_code)[pos_w].astype(np.uint8),
+            np.asarray(is_het)[pos_w],
+            np.asarray(depth)[pos_w].astype(np.int32),
+            np.asarray(alt_count)[pos_w].astype(np.int32),
+        ))
+    pos = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
     return ContigSnps(
         contig=contig,
         pos=pos,
         ref_code=ref_codes[pos].astype(np.uint8),
-        alt_code=alt_code.astype(np.uint8),
-        is_het=np.asarray(is_het)[pos],
-        depth=np.asarray(depth)[pos].astype(np.int32),
-        alt_count=np.asarray(alt_count)[pos].astype(np.int32),
+        alt_code=np.concatenate([p[1] for p in parts]),
+        is_het=np.concatenate([p[2] for p in parts]),
+        depth=np.concatenate([p[3] for p in parts]),
+        alt_count=np.concatenate([p[4] for p in parts]),
     )
 
 
@@ -394,7 +445,10 @@ def read_pileup_vcf(path: str) -> dict[str, ContigSnps]:
             gt = fmap.get("GT", "0/1").replace("|", "/")
             if gt in ("0/0", "./.", "."):
                 continue
-            is_het = "0" in gt.split("/")
+            # het = two distinct alleles, including multi-allelic hets like
+            # Clair3's 1/2 (neither allele is the ref); only a genuinely
+            # homozygous-alt GT (1/1) resumes as hom
+            is_het = len(set(gt.split("/"))) > 1
             depth = 0
             if fmap.get("DP", ".").isdigit():
                 depth = int(fmap["DP"])

@@ -659,6 +659,17 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
         for cr, contig_lengths in stream:
             if cr.contig not in aliases:
                 continue
+            if cr.contig in snps_all:
+                # one segment per contiguous run: a repeated contig key means
+                # the BAM is not coordinate-sorted, and the first segment's
+                # results were already computed and released — silently
+                # keeping the last segment would drop reads (batch mode
+                # concatenates segments instead)
+                raise ValueError(
+                    f"--stream requires a coordinate-sorted BAM: contig "
+                    f"{cr.contig} appears in multiple stream segments; "
+                    "run without --stream (batch mode merges segments)"
+                )
             lengths.update(contig_lengths)
             n_reads += cr.n
             fa_name = aliases[cr.contig] if aliases[cr.contig] in st.ref.index \

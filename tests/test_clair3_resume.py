@@ -94,3 +94,28 @@ def test_clair3_parser_edge_cases(tmp_path):
     assert out.alt_count[0] == 9          # round(0.45 * 20)
     assert out.alt_code[1] == 3           # first ALT allele T
     assert out.depth[2] == 20 and out.alt_count[2] == 9  # AD-derived
+
+
+def test_multiallelic_het_resumes_as_het(tmp_path):
+    """A Clair3 1/2 site (two distinct non-zero alleles) is heterozygous;
+    it must not resume as hom-alt (that would skew phasing inputs)."""
+    header = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=chr21>",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="GT">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="DP">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE",
+    ]
+    recs = [
+        "chr21\t100\t.\tA\tC,G\t10\tPASS\t.\tGT:DP\t1/2:20",   # het (multi-allelic)
+        "chr21\t200\t.\tA\tC\t10\tPASS\t.\tGT:DP\t0/1:20",     # het
+        "chr21\t300\t.\tA\tC\t10\tPASS\t.\tGT:DP\t1|1:20",     # hom
+        "chr21\t400\t.\tA\tC,G\t10\tPASS\t.\tGT:DP\t2/1:20",   # het, reversed
+    ]
+    path = str(tmp_path / "pileup.vcf.gz")
+    write_vcf(path, header, recs)
+    snps = read_pileup_vcf(path)["chr21"]
+    np.testing.assert_array_equal(snps.pos, [99, 199, 299, 399])
+    np.testing.assert_array_equal(snps.is_het, [True, True, False, True])
+    # multi-allelic keeps the first ALT (one alt per site downstream)
+    assert snps.alt_code[0] == 1  # C

@@ -284,3 +284,30 @@ def test_pileup_exotic_cigar_ops(tmp_path):
     keep = np.isin(want[0], sites)
     np.testing.assert_array_equal(fp, want[0][keep])
     np.testing.assert_array_equal(fr, want[3][keep])
+
+
+def test_past_end_read_raises_native(tmp_path):
+    """Native pileup on a read aligned past the contig end fails loudly,
+    mirroring the host twin (count_alleles) instead of silently dropping
+    the out-of-range observations."""
+    import pytest
+
+    from duet_tpu.io.bam import BamHeader, BamRead, BamWriter
+    from duet_tpu.io.native_ingest import (
+        load_read_store_native,
+        pileup_counts_native,
+        pileup_obs_native,
+    )
+
+    header = BamHeader("@HD\tVN:1.6\n@SQ\tSN:c1\tLN:500\n", ["c1"], [500])
+    path = str(tmp_path / "past.bam")
+    with BamWriter(path, header) as w:
+        seq = np.zeros(200, np.uint8)
+        w.write(BamRead("r0", 0, 0, 400, 60, np.array([[0, 200]], np.int32),
+                        seq, np.full(200, 30, np.uint8), {}))  # ends at 600
+    store = load_read_store_native(path)
+    cr = store.contigs["c1"]
+    with pytest.raises(ValueError, match="beyond contig length"):
+        pileup_counts_native(cr, 0, 10, 500)
+    with pytest.raises(ValueError, match="beyond contig length"):
+        pileup_obs_native(cr, 0, 10, length=500)

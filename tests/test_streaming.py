@@ -38,3 +38,35 @@ def test_streaming_pipeline_equals_batch(tmp_path, sim_dataset):
         a = open(tmp_path / "batch" / rel).read()
         b = open(tmp_path / "stream" / rel).read()
         assert a == b, rel
+
+
+def test_stream_rejects_unsorted_bam(tmp_path):
+    """A contig appearing in two stream segments (non-coordinate-sorted
+    BAM) must fail loudly: the first segment's results are already
+    released, so silently keeping the last would drop reads."""
+    import numpy as np
+    import pytest
+
+    from duet_tpu.io.bam import BamHeader, BamRead, BamWriter, write_bam_index
+    from duet_tpu.io.fasta import write_fasta
+    from duet_tpu.pipeline import PipelineConfig, run_pipeline_streaming
+
+    rng = np.random.default_rng(11)
+    seqs = {c: "".join(rng.choice(list("ACGT"), 4000)) for c in ("c1", "c2")}
+    ref = str(tmp_path / "ref.fa")
+    write_fasta(ref, seqs)
+    header = BamHeader("@HD\tVN:1.6\n@SQ\tSN:c1\tLN:4000\n"
+                       "@SQ\tSN:c2\tLN:4000\n", ["c1", "c2"], [4000, 4000])
+    path = str(tmp_path / "reads.bam")
+    with BamWriter(path, header) as w:
+        for k, rid in enumerate((0, 1, 0)):  # c1, c2, c1 again
+            seq = rng.integers(0, 4, size=200).astype(np.uint8)
+            w.write(BamRead(f"r{k}", 0, rid, 100, 60,
+                            np.array([[0, 200]], np.int32), seq,
+                            np.full(200, 30, np.uint8), {}))
+    write_bam_index(path)
+    cfg = PipelineConfig(bam=path, reference=ref,
+                         output=str(tmp_path / "out"),
+                         use_device_kernel=False, include_all_ctgs=True)
+    with pytest.raises(ValueError, match="coordinate-sorted"):
+        run_pipeline_streaming(cfg)
