@@ -199,10 +199,14 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
 def call_snps_any(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
                   cfg: SnpCallConfig) -> ContigSnps:
     """Dispatch on cfg.model: the counting rule or the neural caller."""
+    from duet_tpu.utils import dispatch
+
     if cfg.model == "nn":
         from duet_tpu.models.nn_snp import nn_call_snps
 
+        dispatch.record("snp_pileup", "nn")
         return nn_call_snps(contig, counts, ref_codes)
+    dispatch.record("snp_pileup", "host")
     return call_snps(contig, counts, ref_codes, cfg)
 
 
@@ -259,6 +263,9 @@ def call_snps_device(contig: str, obs, ref_codes: np.ndarray,
         else:
             o0, o1 = 0, k
         kw = o1 - o0
+        from duet_tpu.utils import dispatch
+
+        dispatch.record("snp_pileup", "device")
         kpad = _pow2(max(kw, 1))
         pos_p = np.zeros(kpad, dtype=np.int32)
         bases_p = np.full(kpad, 4, dtype=np.int32)  # base=4 sentinel never counts

@@ -354,6 +354,9 @@ def _power_refine(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     """Alternating majority updates (read haps <-> site phases), restricted so
     sites never change blocks. Equivalent to the device kernel's matmul power
     iteration (duet_tpu.ops.haplotag) on the sparse layout."""
+    from duet_tpu.utils import dispatch
+
+    dispatch.record("phase_refine", "host")
     av = am.allele.astype(np.float64) * am.weight
     for _ in range(sweeps):
         s = np.zeros(am.n_reads, dtype=np.float64)
@@ -369,6 +372,9 @@ def _power_refine(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 def _haplotag(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
               block_ps: np.ndarray):
     """Final read scoring -> (hap, ps, pc) per read."""
+    from duet_tpu.utils import dispatch
+
+    dispatch.record("haplotag", "host")
     n = am.n_reads
     av = am.allele.astype(np.float64) * am.weight
     signed = np.zeros(n, dtype=np.float64)
@@ -515,6 +521,10 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         # cache) is hit forever after
         for c0 in range(0, len(rows), chunk):
             c1 = min(c0 + chunk, len(rows))
+            from duet_tpu.utils import dispatch
+
+            dispatch.record("haplotag", "mesh" if mesh is not None
+                            else "device")
             if mesh is not None:
                 hap_d, pc_d, best_d, _ = phase_and_tag_sharded(
                     mesh, A[c0:c0 + chunk], Wt[c0:c0 + chunk], ph, onehot,

@@ -440,9 +440,13 @@ def _all_clusters(sigs: Signatures, cfg: SvCallConfig, mesh=None):
     from duet_tpu.ops.cluster import GAP, SPAN, cluster_multi
 
     if mesh is not None:
+        from duet_tpu.utils import dispatch
+
         for svtype in (SVTYPE_INS, SVTYPE_DEL, SVTYPE_INV, SVTYPE_DUP):
             m = sigs.svtype == svtype
             sig_idx = np.flatnonzero(m)
+            if m.any():
+                dispatch.record("sv_cluster", "mesh")
             for cp, cl, rows_f in _cluster_one_type(
                     sigs.pos[m], sigs.length[m], sigs.read_idx[m], cfg,
                     svtype, mesh=mesh):

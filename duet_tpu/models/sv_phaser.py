@@ -312,12 +312,16 @@ def phase_chromosome(
     if len(oneps) == 0:
         # reference skips the whole chromosome when no anchor exists (:209-210)
         return []
+    from duet_tpu.utils import dispatch
+
     if use_device and packed.tagged.shape[1] <= 500:
         from duet_tpu.ops.phase_decide import phase_decide_packed
 
+        dispatch.record("sv_decide", "device")
         pred, ps_arr = phase_decide_packed(packed, oneps)
         feats_ps = ps_arr.astype(np.int64)
     else:
+        dispatch.record("sv_decide", "host")
         feats = compute_features(packed, regime, oneps)
         pred = decide_haplotype(feats, regime)
         feats_ps = feats.ps

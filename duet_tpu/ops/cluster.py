@@ -271,13 +271,17 @@ def cluster_multi(svtype, pos, length, read_idx, linkage: int, md_by_type,
     return contract as cluster_host_multi.  Device shapes are padded to a
     power of two with a 2048 floor so nearly every contig shares one
     compiled program."""
+    from duet_tpu.utils import dispatch
+
     k = len(pos)
     if k == 0:
         e = np.zeros(0, dtype=np.int64)
         return e, e, e, e, e, e
     if not device:
+        dispatch.record("sv_cluster", "host")
         return cluster_host_multi(svtype, pos, length, read_idx, linkage,
                                   md_by_type, cmd_num, cmd_den)
+    dispatch.record("sv_cluster", "device")
     if pad_to is None:
         pad_to = max(1 << (k - 1).bit_length(), 2048)
     order = np.lexsort((pos, svtype))

@@ -48,9 +48,12 @@ def _refine(row, col, av, phase0, covered, sweeps: int, n_reads: int,
 def power_refine_device(am, phase: np.ndarray, block_id: np.ndarray,
                         sweeps: int = 2) -> np.ndarray:
     """Drop-in device twin of models.snp_phaser._power_refine."""
+    from duet_tpu.utils import dispatch
+
     nnz = len(am.row)
     if nnz == 0 or am.n_sites == 0:
         return phase
+    dispatch.record("phase_refine", "device")
     n_reads = _pow2(am.n_reads)
     n_sites = _pow2(am.n_sites)
     nnz_pad = _pow2(nnz)

@@ -43,6 +43,7 @@ from duet_tpu.models.snp_phaser import (
     write_phased_snp_vcf,
 )
 from duet_tpu.models.sv_caller import SvCallConfig, write_sv_vcf
+from duet_tpu.utils import dispatch
 from duet_tpu.utils.chrom import resolve_contig_names, strip_chr
 from duet_tpu.utils.logging import StageTimer, get_logger, setup_logging
 
@@ -631,6 +632,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
         _enable_compilation_cache()
     log = get_logger()
     t0 = time.time()
+    dispatch.reset()
 
     st = PipelineState()
     st.mesh = _resolve_mesh(cfg)
@@ -712,10 +714,14 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     # observability parity with run_pipeline (SURVEY.md §5.1 gap)
     import json
 
+    snap = dispatch.snapshot()
     with open(os.path.join(cfg.output, "metrics.json"), "w") as f:
         json.dump({
             "mode": "streaming",
             "ingest_backend": stream_backend,
+            "backends": {s: dispatch.backend_label(s, snap)
+                         for s in dispatch.STAGES},
+            "device_dispatch": snap,
             "peak_rss_mb": _peak_rss_mb(),
             "counts": {
                 "reads": n_reads,
@@ -784,6 +790,7 @@ def run_pipeline(cfg: PipelineConfig) -> str:
         log.info("multi-process run: process %d of %d", pid, nproc)
 
     t0 = time.time()
+    dispatch.reset()  # fresh per-run accounting (bench runs several in-process)
     st = PipelineState()
     st.mesh = _resolve_mesh(cfg)
     metrics: dict = {"stages": {}, "counts": {}}
@@ -813,15 +820,13 @@ def run_pipeline(cfg: PipelineConfig) -> str:
             t = time.time()
             fn(cfg, st)
             metrics["stages"][name.lower().replace(" ", "_")] = round(time.time() - t, 4)
-    on_dev = cfg.stages_on_device()
-    metrics["backends"] = {
-        "snp_pileup": "device" if cfg.pileup_on_device()
-                      and cfg.snp_model == "counts" else "host",
-        "sv_cluster": "mesh" if st.mesh is not None
-                      else ("device" if on_dev else "host"),
-        "haplotag": "mesh" if st.mesh is not None and cfg.use_device_kernel
-                    else ("device" if cfg.use_device_kernel else "host"),
-    }
+    # labels reflect what actually RAN (kernel invocation counts), not what
+    # the flags enabled — auto mode's size gates route small inputs to the
+    # host regardless of config (VERDICT r2 weak #1)
+    snap = dispatch.snapshot()
+    metrics["backends"] = {s: dispatch.backend_label(s, snap)
+                           for s in dispatch.STAGES}
+    metrics["device_dispatch"] = snap
     if st.mesh is not None:
         metrics["mesh"] = {"dp": int(st.mesh.shape["dp"]),
                            "sp": int(st.mesh.shape["sp"])}

@@ -64,3 +64,50 @@ def test_metrics_attribute_backends(sim_dataset, tmp_path):
     assert metrics["backends"]["snp_pileup"] == "device"
     assert metrics["backends"]["sv_cluster"] == "device"
     assert metrics["backends"]["haplotag"] == "device"
+
+
+def test_backend_labels_report_actual_dispatch(sim_dataset, tmp_path):
+    """auto mode on a small input: every size gate routes to the host, so
+    the labels must say "host" even though device kernels are ENABLED —
+    the artifact of record reports what ran, not config intent."""
+    import json
+
+    data_dir, _, _ = sim_dataset
+    out = str(tmp_path / "out_auto")
+    cfg = PipelineConfig(
+        bam=os.path.join(data_dir, "reads.bam"),
+        reference=os.path.join(data_dir, "ref.fa"),
+        output=out,
+        # defaults: use_device_kernel=True, device_stages="auto"
+    )
+    run_pipeline(cfg)
+    with open(os.path.join(out, "metrics.json")) as f:
+        metrics = json.load(f)
+    for stage in ("snp_pileup", "sv_cluster", "phase_refine", "haplotag",
+                  "sv_decide"):
+        assert metrics["backends"][stage] == "host", (
+            stage, metrics["backends"])
+    # invocation counts are machine-readable and contain no device entries
+    for stage, per_backend in metrics["device_dispatch"].items():
+        assert set(per_backend) == {"host"}, (stage, per_backend)
+        assert all(n > 0 for n in per_backend.values())
+
+
+def test_forced_device_dispatch_counts_recorded(sim_dataset, tmp_path):
+    """--device-stages on: the dispatch counters prove the kernels ran."""
+    import json
+
+    data_dir, _, _ = sim_dataset
+    out = str(tmp_path / "out_cnt")
+    run_pipeline(PipelineConfig(
+        bam=os.path.join(data_dir, "reads.bam"),
+        reference=os.path.join(data_dir, "ref.fa"),
+        output=out, device_stages="on",
+    ))
+    with open(os.path.join(out, "metrics.json")) as f:
+        metrics = json.load(f)
+    dd = metrics["device_dispatch"]
+    assert dd["snp_pileup"].get("device", 0) > 0
+    assert dd["sv_cluster"].get("device", 0) > 0
+    assert dd["haplotag"].get("device", 0) > 0
+    assert dd["phase_refine"].get("device", 0) > 0
