@@ -424,9 +424,13 @@ def _haplotag(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     return read_hap, read_ps, read_pc
 
 
+HAPLOTAG_BATCH = 16   # 256-row chunks per device call (single fixed shape)
+HAPLOTAG_B = 126      # block columns per window: K = 2 + B = one 128-lane tile
+
+
 def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
                      block_ps: np.ndarray, window: int = 2048, halo: int = 256,
-                     mesh=None):
+                     mesh=None, batch: int = HAPLOTAG_BATCH):
     """Device-windowed read scoring (K1 in the pipeline).
 
     Sites are position-sorted, so they split into fixed windows of `window`
@@ -437,10 +441,17 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     wider — and windows the device rejects — fall back to the sparse host
     path, keeping outputs exactly equal to _haplotag.
 
-    On accelerator backends the scoring runs through the fused-epilogue
-    Pallas kernel — besides skipping the HBM round-trips, it pads the block
-    axis to the 128-lane boundary, so the per-window block-count bucketing
-    no longer multiplies jit shapes (one compile per window geometry).
+    Dispatch is BATCHED: every window is cut into fixed 256-row chunks, all
+    chunks of the contig are stacked, and `batch` of them go to the device
+    per call through one (batch*256, S) kernel launch — per-contig device
+    calls drop from ~#chunks to ceil(#chunks/batch), which is what pays the
+    TPU tunnel's round-trip latency (VERDICT r2 #4).  Per-window block
+    tables are padded to a fixed HAPLOTAG_B columns so one jit shape serves
+    every contig; a window with more than HAPLOTAG_B phase-set blocks
+    (pathological fragmentation) falls back to the host path for its reads.
+
+    On accelerator backends the batched call is the fused-epilogue Pallas
+    kernel (grid over chunks); elsewhere the XLA twin — bit-identical.
 
     With `mesh` (a (dp, sp) jax.sharding.Mesh) each window chunk runs
     through the mesh-sharded kernel instead: rows data-parallel over dp
@@ -448,7 +459,7 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     both axes (duet_tpu.parallel.mesh) — outputs stay bit-identical."""
     import jax
 
-    from duet_tpu.ops.haplotag import phase_and_tag
+    from duet_tpu.utils import dispatch
 
     if mesh is not None:
         from duet_tpu.parallel.mesh import phase_and_tag_sharded
@@ -461,8 +472,6 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         # Pallas/Mosaic kernels are TPU-only ("axon" is the tunneled TPU
         # platform); any other accelerator keeps the plain-XLA path
         use_pallas = jax.default_backend() in ("tpu", "axon")
-        if use_pallas:
-            from duet_tpu.ops.pallas_haplotag import haplotag_score_pallas
 
     n, m = am.n_reads, am.n_sites
     read_hap = np.zeros(n, dtype=np.int8)
@@ -479,13 +488,16 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     w_of_read = np.where(has_obs, first_col // window, -1)
     span_ok = has_obs & (last_col < (w_of_read + 1) * window + halo)
 
-    nblocks = max(len(block_ps), 1)
-    S_w = -(-(window + halo) // sp) * sp  # sp-divisible site axis
+    # site axis: sp-divisible on the mesh, 128-lane-aligned on one device
+    S_w = -(-(window + halo) // sp) * sp if mesh is not None \
+        else -(-(window + halo) // 128) * 128
     # partition observations by their read's window ONCE (span_ok reads have
     # every observation inside their window's column range by construction)
     w_of_obs = np.where(span_ok[am.row], w_of_read[am.row], -1)
     obs_order = np.argsort(w_of_obs, kind="stable")
     w_sorted = w_of_obs[obs_order]
+    host_rows: list[np.ndarray] = []  # windows routed to the host fallback
+    tasks: list[tuple] = []  # (rows_chunk, A, Wt, rhs, present)
     for w in range(0, (m + window - 1) // window):
         rows = np.flatnonzero((w_of_read == w) & span_ok)
         if len(rows) == 0:
@@ -495,6 +507,13 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         o0 = int(np.searchsorted(w_sorted, w, "left"))
         o1 = int(np.searchsorted(w_sorted, w, "right"))
         sel = obs_order[o0:o1]
+        # local block table for the window's sites
+        blk = np.full(S_w, -1, dtype=np.int64)
+        blk[: hi - lo] = block_id[lo:hi]
+        present = np.unique(blk[blk >= 0])
+        if mesh is None and len(present) > HAPLOTAG_B:
+            host_rows.append(rows)
+            continue
         row_local = np.searchsorted(rows, am.row[sel])
         col_local = am.col[sel] - lo
         R_pad = max(int(np.ceil(len(rows) / chunk)) * chunk, chunk)
@@ -504,50 +523,78 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         Wt[row_local, col_local] = am.weight[sel]
         ph = np.zeros(S_w, dtype=np.float32)
         ph[: hi - lo] = phase[lo:hi]
-        # local block table for the window's sites
-        blk = np.full(S_w, -1, dtype=np.int64)
-        blk[: hi - lo] = block_id[lo:hi]
-        present = np.unique(blk[blk >= 0])
-        # pad the block axis to a power of two (>= 8) so distinct window
-        # shapes — and therefore jit recompiles — stay bounded
-        B = max(8, 1 << (max(len(present), 1) - 1).bit_length())
+        B = HAPLOTAG_B if mesh is None \
+            else max(8, 1 << (max(len(present), 1) - 1).bit_length())
         onehot = np.zeros((S_w, B), dtype=np.float32)
         local_of = {int(b): i for i, b in enumerate(present)}
         ok = blk >= 0
         onehot[np.flatnonzero(ok), [local_of[int(b)] for b in blk[ok]]] = 1.0
 
-        # fixed row chunks (256, or 256 per dp device): ONE kernel shape
-        # regardless of contig size, so the jit (and the persistent compile
-        # cache) is hit forever after
-        for c0 in range(0, len(rows), chunk):
-            c1 = min(c0 + chunk, len(rows))
-            from duet_tpu.utils import dispatch
-
-            dispatch.record("haplotag", "mesh" if mesh is not None
-                            else "device")
-            if mesh is not None:
+        if mesh is not None:
+            # mesh path: per-chunk sharded dispatch (collectives pinned
+            # byte-identical in tests/test_mesh_pipeline.py)
+            for c0 in range(0, len(rows), chunk):
+                c1 = min(c0 + chunk, len(rows))
+                dispatch.record("haplotag", "mesh")
                 hap_d, pc_d, best_d, _ = phase_and_tag_sharded(
                     mesh, A[c0:c0 + chunk], Wt[c0:c0 + chunk], ph, onehot,
                     sweeps=0)
-            elif use_pallas:
-                hap_d, pc_d, best_d = haplotag_score_pallas(
-                    A[c0:c0 + chunk], Wt[c0:c0 + chunk], ph, onehot)
-            else:
-                out = phase_and_tag(A[c0:c0 + chunk], Wt[c0:c0 + chunk], ph,
-                                    onehot, sweeps=0)
-                hap_d, pc_d, best_d = out["hap"], out["pc"], out["best_block"]
-            hap = np.asarray(hap_d)[: c1 - c0]
-            pc = np.asarray(pc_d)[: c1 - c0]
-            best = np.asarray(best_d)[: c1 - c0]
-            tagged = hap != 0
-            rsel = rows[c0:c1][tagged]
-            read_hap[rsel] = hap[tagged]
-            read_pc[rsel] = pc[tagged]
-            if len(present):
-                read_ps[rsel] = block_ps[present[best[tagged]]]
+                _scatter_tagged(read_hap, read_pc, read_ps, block_ps, present,
+                                rows[c0:c1], np.asarray(hap_d)[: c1 - c0],
+                                np.asarray(pc_d)[: c1 - c0],
+                                np.asarray(best_d)[: c1 - c0])
+        else:
+            # single-device: rhs = [phase | informative | block onehot],
+            # shared by all chunks of this window
+            rhs = np.zeros((S_w, 2 + B), dtype=np.float32)
+            rhs[:, 0] = ph
+            rhs[:, 1] = ph != 0
+            rhs[:, 2:] = onehot
+            for c0 in range(0, len(rows), chunk):
+                c1 = min(c0 + chunk, len(rows))
+                tasks.append((rows[c0:c1], A[c0:c0 + chunk],
+                              Wt[c0:c0 + chunk], rhs, present))
 
-    # host fallback for over-spanning reads
+    if tasks:
+        import ml_dtypes
+
+        from duet_tpu.ops.haplotag import phase_and_tag_batch
+
+        if use_pallas:
+            from duet_tpu.ops.pallas_haplotag import haplotag_score_batch_pallas
+        T = batch
+        for t0 in range(0, len(tasks), T):
+            group = tasks[t0:t0 + T]
+            A_b = np.zeros((T * chunk, S_w), dtype=np.int8)
+            W_b = np.zeros((T * chunk, S_w), dtype=ml_dtypes.bfloat16)
+            rhs_b = np.zeros((T * S_w, 2 + HAPLOTAG_B),
+                             dtype=ml_dtypes.bfloat16)
+            for k, (_, A_c, W_c, rhs, _) in enumerate(group):
+                A_b[k * chunk:(k + 1) * chunk] = A_c
+                W_b[k * chunk:(k + 1) * chunk] = W_c
+                rhs_b[k * S_w:(k + 1) * S_w] = rhs
+            dispatch.record("haplotag", "device")
+            if use_pallas:
+                packed = np.asarray(haplotag_score_batch_pallas(
+                    A_b, W_b, rhs_b, n_tasks=T, n_blocks=HAPLOTAG_B))
+                hap_all = packed[:, 0]
+                pc_all = packed[:, 1]
+                best_all = packed[:, 2]
+            else:
+                hap_d, pc_d, best_d = phase_and_tag_batch(
+                    A_b, W_b, rhs_b, n_tasks=T, n_blocks=HAPLOTAG_B)
+                hap_all = np.asarray(hap_d)
+                pc_all = np.asarray(pc_d)
+                best_all = np.asarray(best_d)
+            for k, (rows_c, _, _, _, present) in enumerate(group):
+                s = slice(k * chunk, k * chunk + len(rows_c))
+                _scatter_tagged(read_hap, read_pc, read_ps, block_ps, present,
+                                rows_c, hap_all[s], pc_all[s], best_all[s])
+
+    # host fallback for over-spanning reads and over-full windows
     wide = np.flatnonzero(has_obs & ~span_ok)
+    if host_rows:
+        wide = np.union1d(wide, np.concatenate(host_rows))
     if len(wide):
         sub = np.isin(am.row, wide)
         sub_am = AlleleMatrix(n, m, am.site_pos, am.row[sub], am.col[sub],
@@ -557,6 +604,17 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         read_ps[wide] = p[wide]
         read_pc[wide] = c[wide]
     return read_hap, read_ps, read_pc
+
+
+def _scatter_tagged(read_hap, read_pc, read_ps, block_ps, present, rows,
+                    hap, pc, best):
+    """Write one chunk's kernel outputs back to the per-read arrays."""
+    tagged = hap != 0
+    rsel = rows[tagged]
+    read_hap[rsel] = hap[tagged]
+    read_pc[rsel] = pc[tagged]
+    if len(present):
+        read_ps[rsel] = block_ps[present[best[tagged]]]
 
 
 def phase_contig(cr: ContigReads, snps: ContigSnps,

@@ -116,6 +116,42 @@ def phase_and_tag(alleles, weights, phase0, block_onehot, sweeps: int = 2):
     }
 
 
+@partial(jax.jit, static_argnames=("n_tasks", "n_blocks"))
+def phase_and_tag_batch(alleles, weights, rhs, n_tasks: int, n_blocks: int):
+    """XLA twin of pallas_haplotag.haplotag_score_batch_pallas: `n_tasks`
+    stacked (TILE_R, S) scoring chunks in one jitted call (batched
+    dot_general — identical bf16-operand / f32-accumulate arithmetic, so
+    results are bit-equal; every product is an exact small integer).
+
+    alleles (n_tasks*R, S) int8; weights same shape (any float, cast to
+    bf16); rhs (n_tasks*S, K) float — per-task [phase | informative |
+    block-onehot] stacked on the site axis.
+    Returns (hap, pc, best_block), each (n_tasks*R,) int32.
+    """
+    R = alleles.shape[0] // n_tasks
+    S = alleles.shape[1]
+    aw = (alleles.astype(jnp.bfloat16)
+          * weights.astype(jnp.bfloat16)).reshape(n_tasks, R, S)
+    rhs3 = rhs.astype(jnp.bfloat16).reshape(n_tasks, S, -1)
+    batch_dot = (((2,), (1,)), ((0,), (0,)))
+    signed = jax.lax.dot_general(
+        aw, rhs3[:, :, :1], batch_dot, preferred_element_type=jnp.float32,
+    )[..., 0]
+    rest = jax.lax.dot_general(
+        jnp.abs(aw), rhs3[:, :, 1:], batch_dot,
+        preferred_element_type=jnp.float32,
+    )
+    total = rest[..., 0]
+    blockw = rest[..., 1:1 + n_blocks]
+
+    tagged = (total > 0) & (signed != 0)
+    hap = jnp.where(tagged, jnp.where(signed > 0, 1, 2), 0).astype(jnp.int32)
+    pc = jnp.clip(jnp.rint(PC_PER_MARGIN * jnp.abs(signed)), 1, PC_MAX)
+    pc = jnp.where(tagged, pc.astype(jnp.int32), -1)
+    best = jnp.argmax(blockw, axis=2).astype(jnp.int32)  # XLA: first max wins
+    return hap.reshape(-1), pc.reshape(-1), best.reshape(-1)
+
+
 def block_onehot_from_ids(block_id: np.ndarray, n_blocks: int) -> np.ndarray:
     """(S, B) membership matrix; unassigned sites (block -1) map nowhere."""
     S = len(block_id)

@@ -48,6 +48,39 @@ def test_fused_matches_jnp(R, S, B, sweeps):
                                       np.asarray(fus[key]), err_msg=key)
 
 
+def test_batch_pallas_matches_jnp_batch():
+    """The batched Pallas launch (grid over stacked chunks) is bit-equal to
+    the batched XLA twin on every packed column."""
+    import ml_dtypes
+
+    from duet_tpu.ops.haplotag import phase_and_tag_batch
+    from duet_tpu.ops.pallas_haplotag import TILE_R, haplotag_score_batch_pallas
+
+    T, S, B = 3, 256, 126
+    rng = np.random.default_rng(5)
+    A = np.zeros((T * TILE_R, S), np.int8)
+    W = np.zeros((T * TILE_R, S), np.float32)
+    rhs = np.zeros((T * S, 2 + B), np.float32)
+    for k in range(T):
+        a, w, ph, oh = g._example_batch(R=TILE_R, S=S, B=B, seed=10 + k)
+        A[k * TILE_R:(k + 1) * TILE_R] = a
+        W[k * TILE_R:(k + 1) * TILE_R] = w
+        rhs[k * S:(k + 1) * S, 0] = ph
+        rhs[k * S:(k + 1) * S, 1] = ph != 0
+        rhs[k * S:(k + 1) * S, 2:] = oh
+    W16 = W.astype(ml_dtypes.bfloat16)
+    rhs16 = rhs.astype(ml_dtypes.bfloat16)
+    hap_j, pc_j, best_j = phase_and_tag_batch(A, W16, rhs16, n_tasks=T,
+                                              n_blocks=B)
+    packed = np.asarray(haplotag_score_batch_pallas(
+        A, W16, rhs16, n_tasks=T, n_blocks=B, interpret=INTERPRET))
+    np.testing.assert_array_equal(packed[:, 0], np.asarray(hap_j))
+    tagged = np.asarray(hap_j) != 0
+    np.testing.assert_array_equal(packed[tagged, 1], np.asarray(pc_j)[tagged])
+    np.testing.assert_array_equal(packed[tagged, 2],
+                                  np.asarray(best_j)[tagged])
+
+
 def test_fused_rejects_f32_weights():
     from duet_tpu.ops.pallas_haplotag import phase_and_tag_fused
 
