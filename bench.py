@@ -157,7 +157,21 @@ def bench_e2e(megabases: float) -> dict:
             1 for ln in open(os.path.join(out, "phased_sv.vcf"))
             if ln.strip() and not ln.startswith("#")
         )
-    return {
+        # standalone decoder throughput: the BAM -> packed-columns step in
+        # isolation (best of 3 — this VM's timings are noisy), so the e2e
+        # ingest share is attributable to the decoder vs everything else
+        decode_s = None
+        try:
+            from duet_tpu.io.native_ingest import load_read_store_native
+
+            bam = os.path.join(data, "reads.bam")
+            load_read_store_native(bam)  # warm page cache / .so load
+            decode_s = min(
+                _timed(lambda: load_read_store_native(bam)) for _ in range(3)
+            )
+        except Exception as e:
+            print(f"# native decoder bench skipped: {e}", file=sys.stderr)
+    result = {
         "backend": jax.default_backend(),
         "megabases": n_contigs,
         "reads": m["counts"]["reads"],
@@ -166,9 +180,21 @@ def bench_e2e(megabases: float) -> dict:
         "total_s": round(totals["warm"], 2),
         "reads_per_s": round(m["counts"]["reads"] / totals["warm"], 1),
         "per_stage_s": m["stages"],
+        "ingest": m.get("ingest", {}),
         "backends": m.get("backends", {}),
+        "device_dispatch": m.get("device_dispatch", {}),
         "phased_calls": n_calls,
     }
+    if decode_s is not None:
+        result["bam_decoder_standalone_reads_per_s"] = round(
+            m["counts"]["reads"] / decode_s, 1)
+    return result
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main() -> int:

@@ -57,3 +57,8 @@ def test_metrics_artifact(multi_demo):
     assert m["counts"]["tagged_reads"] > 0
     assert m["ingest_reads_per_s"] > 0
     assert m["total_s"] > 0
+    # ingest attribution: .fai read vs BAM decode, decoder throughput
+    ing = m["ingest"]
+    assert ing["backend"] in ("native", "python")
+    assert ing["bam_decode_s"] <= m["stages"]["ingest"] + 1e-6
+    assert ing["bam_decode_reads_per_s"] > 0
