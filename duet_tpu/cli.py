@@ -76,12 +76,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-junction-evidence", type=float, default=0.0,
                    metavar="E",
                    help="end phase-set blocks at junctions whose converged "
-                        "spanning evidence is below E (capped at the "
-                        "block's median/20) — the WhatsHap-style phasing "
-                        "precision/contiguity trade. E=2000 measured at "
-                        "10-12x genome scale: phasing F1 +0.03..+0.06 for "
-                        "calling F1 -0.005; hurts at 8x (docs/PC_SCALE.md)."
-                        " 0 disables (default)")
+                        "spanning evidence is below the ABSOLUTE threshold "
+                        "E (capped at the block's median/20) — explicit "
+                        "override of the default adaptive rule "
+                        "(docs/PC_SCALE.md). 0 keeps the adaptive rule")
+    p.add_argument("--junction-split", default="adaptive",
+                   choices=["adaptive", "off"],
+                   help="coverage-adaptive weak-junction phase-set "
+                        "splitting (default on): split where converged "
+                        "junction evidence is a >=20x outlier vs its "
+                        "block's median and the spanning reads disagree or "
+                        "number <=1 — no absolute scale, so low coverage "
+                        "does not backfire (docs/PC_SCALE.md)")
     p.add_argument("--haplotag-bam", action="store_true",
                    help="also write per-contig haplotagged BAMs with "
                         "HP/PC/PS tags (reference artifact parity)")
@@ -132,6 +138,8 @@ def main(argv: list[str] | None = None) -> int:
         snp_model=args.snp_model,
         phase_bnd=args.phase_bnd,
         min_junction_evidence=args.min_junction_evidence,
+        adaptive_junction_split=(args.junction_split == "adaptive"
+                                 and args.min_junction_evidence <= 0),
         coordinator=args.coordinator,
         num_processes=args.num_processes,
         process_id=args.process_id,

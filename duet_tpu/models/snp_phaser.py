@@ -295,39 +295,102 @@ def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     return phase
 
 
+def _boundary_stats(phase, cols_b, rows, lj, base_v, start_idx, seg):
+    """Per-boundary (E, M, N) for one block under the given phase:
+
+      E_j = sum_r L_r R_r        signed junction evidence (what the
+                                 corrector maximizes; >= 0 at convergence)
+      M_j = sum_r |L_r| |R_r|    total spanning magnitude — the evidence the
+                                 junction WOULD have if every spanning read
+                                 agreed; scales with local coverage
+      N_j = #{r spanning j}      spanning read count
+
+    E/M in [-1, 1] is a coverage-free agreement ratio; M/N is the typical
+    per-read product scale.  Same O(nnz) event-driven scan as _boundary_E."""
+    m = len(cols_b)
+    v = base_v * phase[cols_b[lj]]
+    cum = np.cumsum(v)
+    seg_offset = np.concatenate([[0.0], cum[start_idx[1:] - 1]]) \
+        if len(start_idx) > 1 else np.zeros(1)
+    P = cum - seg_offset[seg]
+    S = np.add.reduceat(v, start_idx)
+    has_next = np.zeros(len(rows), dtype=bool)
+    has_next[:-1] = rows[1:] == rows[:-1]
+    k = np.flatnonzero(has_next)
+    left = P[k]
+    right = S[seg[k]] - P[k]
+    out = np.zeros((3, m + 1))
+    for row, val in ((0, left * right), (1, np.abs(left) * np.abs(right)),
+                     (2, np.ones(len(k)))):
+        np.add.at(out[row], lj[k] + 1, val)
+        np.add.at(out[row], lj[k + 1] + 1, -val)
+    c = np.cumsum(out, axis=1)[:, 1:m]
+    return c[0], c[1], c[2]
+
+
 def _junction_evidence(am: AlleleMatrix, phase: np.ndarray,
                        block_id: np.ndarray):
-    """Converged per-boundary junction evidence (the exact quantity
+    """Converged per-boundary junction statistics (E is the exact quantity
     _switch_correct minimizes; at convergence all E_j >= 0 and small values
-    mean the two sides are barely coupled).  Returns {block: (cols_b, E)}."""
+    mean the two sides are barely coupled).  Returns
+    {block: (cols_b, E, M, N)} per _boundary_stats."""
     return {
-        b: (cols_b, _boundary_E(phase, cols_b, rows, lj, base_v,
-                                start_idx, seg))
+        b: (cols_b, *_boundary_stats(phase, cols_b, rows, lj, base_v,
+                                     start_idx, seg))
         for b, cols_b, rows, lj, base_v, start_idx, seg in
         _block_obs_groups(am, block_id)
     }
 
 
+# adaptive weak-junction criterion (tuned on truth-labeled junctions,
+# tools/junction_diag.py; see docs/PC_SCALE.md): a junction splits when its
+# converged evidence is an outlier vs the block's own median (coverage-
+# relative, no absolute scale) AND the local spanning reads either disagree
+# (agreement ratio E/M below ADAPTIVE_RHO — conflicting evidence cannot pin
+# the orientation) or amount to at most one read (ADAPTIVE_N1 — one read's
+# word, unverifiable)
+ADAPTIVE_REL = 20.0   # split only if E < block median E / this
+ADAPTIVE_RHO = 0.8    # ...and agreement ratio below this
+ADAPTIVE_N1 = True    # ...or spanning-read count <= 1
+
+
 def _split_weak_junctions(am: AlleleMatrix, phase: np.ndarray,
-                          block_id: np.ndarray, min_e: float):
+                          block_id: np.ndarray, min_e: float,
+                          adaptive: bool = False):
     """Split phase-set blocks at boundaries whose converged junction
-    evidence falls below min_e — the relative orientation of the two sides
-    is then effectively unsupported (about one read-site-pair product), and
-    an undetectable switch error there would flip every downstream call in
+    evidence cannot pin the relative orientation of the two sides — an
+    undetectable switch error there would flip every downstream call in
     the block.  WhatsHap makes the same precision/contiguity trade by
-    ending blocks at weak junctions.  Returns (block_id, block_ps)."""
-    if min_e <= 0:
+    ending blocks at weak junctions.
+
+    Two criteria: `min_e` > 0 is the absolute-threshold rule (junction
+    evidence below min(min_e, block median/20)) and takes precedence as the
+    explicit override; `adaptive` is the coverage-relative rule above,
+    which needs no scale constant and does not backfire at low coverage
+    (docs/PC_SCALE.md).  Returns (block_id, block_ps); block_ps None means
+    nothing split."""
+    if min_e > 0:
+        adaptive = False
+    elif not adaptive:
         return block_id, None
     ev = _junction_evidence(am, phase, block_id)
     new_block = np.zeros(am.n_sites, dtype=bool)
-    for b, (cols_b, E) in ev.items():
+    for b, (cols_b, E, M, N) in ev.items():
         if len(E) == 0:
             continue
-        # junction evidence scales with coverage, so the cutoff is relative
-        # to the block's own median (an outlier ~50x weaker than its peers),
-        # capped by min_e so well-supported blocks never split
-        thresh = min(min_e, float(np.median(E)) / 20.0)
-        weak = np.flatnonzero(E < thresh)
+        med_E = float(np.median(E))
+        if adaptive:
+            weak_mask = E < med_E / ADAPTIVE_REL
+            guard = E < ADAPTIVE_RHO * M
+            if ADAPTIVE_N1:
+                guard |= N <= 1
+            weak = np.flatnonzero(weak_mask & guard)
+        else:
+            # junction evidence scales with coverage, so the cutoff is
+            # relative to the block's own median (an outlier ~50x weaker
+            # than its peers), capped by min_e so well-supported blocks
+            # never split
+            weak = np.flatnonzero(E < min(min_e, med_E / 20.0))
         new_block[cols_b[weak + 1]] = True
     if not new_block.any():
         return block_id, None
@@ -621,7 +684,8 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
                  cfg: SnpCallConfig | None = None, sweeps: int = 2,
                  use_device: bool = False, obs=None,
                  min_junction_evidence: float = 0.0, mesh=None,
-                 device_min_nnz: int = 0) -> PhaseResult:
+                 device_min_nnz: int = 0,
+                 adaptive_junction_split: bool = False) -> PhaseResult:
     """device_min_nnz: auto size gate for the device refine/scoring — below
     this many allele-matrix entries the host sparse path wins (the kernels
     are latency-bound round-trips at small sizes; bit-identical either
@@ -650,7 +714,8 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
     # sides — raises phasing precision at weak junctions but costs calling
     # recall through the two-phase-set decision regime
     new_id, new_ps = _split_weak_junctions(
-        am, phase, block_id, min_junction_evidence)
+        am, phase, block_id, min_junction_evidence,
+        adaptive=adaptive_junction_split)
     if new_ps is not None:
         block_id, block_ps = new_id, new_ps
     if use_device:

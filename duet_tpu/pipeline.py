@@ -69,15 +69,21 @@ class PipelineConfig:
                                         # reference drops them at the SVLEN
                                         # filter, sv_phasing_fn.py:189)
     min_junction_evidence: float = 0.0  # split phase-set blocks at weak
-                                        # junctions (min(this, block
-                                        # median/20)).  Off by default: at
-                                        # 10-12x genome scale it buys
-                                        # phasing F1 +0.03..+0.06 for
-                                        # calling -0.005, but at 8x a
-                                        # correct single-read-pair junction
-                                        # is indistinguishable from a wrong
-                                        # one and splits cost calling F1
-                                        # (docs/PC_SCALE.md)
+                                        # junctions below an ABSOLUTE
+                                        # evidence threshold (min(this,
+                                        # block median/20)); superseded by
+                                        # the adaptive rule below but kept
+                                        # for explicit-threshold runs
+    adaptive_junction_split: bool = True
+                                        # coverage-adaptive weak-junction
+                                        # splitting: split where converged
+                                        # junction evidence is a >=20x
+                                        # outlier vs the block median AND
+                                        # spanning reads disagree (E/M <
+                                        # 0.8) or number <=1.  No absolute
+                                        # scale, so it does not backfire at
+                                        # low coverage the way an absolute
+                                        # threshold does (docs/PC_SCALE.md)
     # multi-process (multi-host) run: contigs are round-robin owned per
     # process, stage outputs exchanged as part-files on the shared
     # filesystem, process 0 is the single writer of the final artifacts
@@ -393,7 +399,8 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
                               use_device=cfg.use_device_kernel,
                               obs=st.site_obs.get(contig), mesh=st.mesh,
                               min_junction_evidence=cfg.min_junction_evidence,
-                              device_min_nnz=cfg.phasing_device_min_nnz())
+                              device_min_nnz=cfg.phasing_device_min_nnz(),
+                              adaptive_junction_split=cfg.adaptive_junction_split)
         return contig, snps, cr, result
 
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
@@ -692,7 +699,8 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
                                   use_device=cfg.use_device_kernel,
                                   obs=site_obs, mesh=st.mesh,
                                   min_junction_evidence=cfg.min_junction_evidence,
-                                  device_min_nnz=cfg.phasing_device_min_nnz())
+                                  device_min_nnz=cfg.phasing_device_min_nnz(),
+                                  adaptive_junction_split=cfg.adaptive_junction_split)
             st.read_haps[cr.contig] = read_hap_map(cr, result)
             write_phased_snp_vcf(
                 os.path.join(ph_dir, f"phased_{cr.contig}.vcf.gz"),

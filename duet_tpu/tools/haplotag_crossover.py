@@ -1,0 +1,95 @@
+"""Measure the haplotag-stage host/device crossover (VERDICT r2 #2/#4).
+
+The phasing stage's device path is latency-bound at small inputs: the
+auto-mode size gate (`PipelineConfig.phasing_device_min_nnz`) must sit at
+the allele-matrix size where the batched device dispatch actually beats
+the sparse host scorer ON THIS ENVIRONMENT'S chip+tunnel.  Round 2 set it
+at 1M nnz with serial per-chunk dispatch; the batched launch (one kernel
+call per 16 window chunks, models/snp_phaser.py) amortizes the tunnel
+round-trip, so the crossover must be re-measured.
+
+Builds synthetic single-contig phasing problems shaped like production
+data (reads covering ~9 contiguous het sites, 2048-site windows), then
+times `_haplotag` (host sparse numpy) vs `_haplotag_device` (batched
+device dispatch, Pallas on TPU) at increasing nnz, asserting equal
+outputs.  Prints one JSON document; docs/SCALING.md carries the captured
+crossover and the gate constant references it.
+
+    python -m duet_tpu.tools.haplotag_crossover [--sizes 50,100,200,400,800]
+        (sizes are nnz in thousands; first device call pays the jit compile
+         and is reported separately as compile_s)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_problem(nnz_target: int, seed: int = 0, obs_per_read: int = 9):
+    """Synthetic AlleleMatrix + converged phase shaped like real contigs:
+    reads cover `obs_per_read` consecutive sites, ~12 reads per site."""
+    from duet_tpu.models.snp_phaser import AlleleMatrix
+
+    rng = np.random.default_rng(seed)
+    n_reads = max(nnz_target // obs_per_read, 1)
+    reads_per_site = 12
+    m = max(n_reads * obs_per_read // reads_per_site, obs_per_read + 1)
+    start = rng.integers(0, m - obs_per_read, size=n_reads)
+    row = np.repeat(np.arange(n_reads, dtype=np.int32), obs_per_read)
+    col = (start[:, None] + np.arange(obs_per_read)[None, :]).reshape(-1)
+    order = np.argsort(col, kind="stable")
+    row, col = row[order], col[order].astype(np.int32)
+    phase = rng.choice(np.array([-1, 1], np.int8), size=m)
+    truth_hap = rng.integers(0, 2, size=n_reads)
+    agree = rng.random(len(row)) < 0.95
+    sign = np.where(truth_hap[row] == 0, 1, -1) * np.where(agree, 1, -1)
+    allele = (sign * phase[col]).astype(np.int8)
+    weight = rng.integers(10, 41, size=len(row)).astype(np.float32)
+    am = AlleleMatrix(n_reads=n_reads, n_sites=m, site_pos=np.arange(m) * 1500,
+                      row=row, col=col, allele=allele, weight=weight)
+    block_id = np.zeros(m, dtype=np.int32)
+    block_ps = np.array([1], dtype=np.int64)
+    return am, phase, block_id, block_ps
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    sizes = [int(s) * 1000 for s in (
+        argv[argv.index("--sizes") + 1] if "--sizes" in argv
+        else "50,100,200,400,800").split(",")]
+    import jax
+
+    from duet_tpu.models.snp_phaser import _haplotag, _haplotag_device
+
+    rows = []
+    for nnz in sizes:
+        am, phase, block_id, block_ps = make_problem(nnz)
+        t0 = time.perf_counter()
+        host = _haplotag(am, phase, block_id, block_ps)
+        host_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dev = _haplotag_device(am, phase, block_id, block_ps)
+        first_s = time.perf_counter() - t0   # includes compile on first shape
+        t0 = time.perf_counter()
+        dev = _haplotag_device(am, phase, block_id, block_ps)
+        dev_s = time.perf_counter() - t0
+        for h, d in zip(host, dev):
+            np.testing.assert_array_equal(h, d)
+        rows.append({"nnz": nnz, "reads": am.n_reads, "sites": am.n_sites,
+                     "host_s": round(host_s, 4), "device_s": round(dev_s, 4),
+                     "device_first_s": round(first_s, 4),
+                     "speedup": round(host_s / dev_s, 2)})
+        print(f"# nnz={nnz} host={host_s:.3f}s device={dev_s:.3f}s "
+              f"(first {first_s:.1f}s)", file=sys.stderr)
+    cross = next((r["nnz"] for r in rows if r["speedup"] > 1.0), None)
+    print(json.dumps({"backend": jax.default_backend(),
+                      "crossover_nnz": cross, "rows": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
