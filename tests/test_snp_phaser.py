@@ -213,3 +213,123 @@ def test_min_junction_evidence_splits_blocks():
     new_id, new_ps = _split_weak_junctions(am, phase, block_id, min_e=5000.0)
     assert new_ps is not None and len(new_ps) >= 2
     assert new_id[0] != new_id[m - 1]
+
+
+def _brute_boundary_stats(am, phase, block_id, b):
+    """O(reads x sites) reference for _boundary_stats: per boundary i of
+    block b, E = sum_r L_r*R_r, M = sum_r |L_r|*|R_r|, N = #spanning."""
+    cols_b = np.flatnonzero(block_id == b)
+    m = len(cols_b)
+    local = {int(c): i for i, c in enumerate(cols_b)}
+    E = np.zeros(m - 1)
+    M = np.zeros(m - 1)
+    N = np.zeros(m - 1)
+    per_read: dict[int, list] = {}
+    for r, c, a, w in zip(am.row, am.col, am.allele, am.weight):
+        if int(c) in local:
+            per_read.setdefault(int(r), []).append(
+                (local[int(c)], float(a) * float(w) * float(phase[c])))
+    for obs in per_read.values():
+        for i in range(m - 1):
+            L = sum(v for j, v in obs if j <= i)
+            R = sum(v for j, v in obs if j > i)
+            has_l = any(j <= i for j, _ in obs)
+            has_r = any(j > i for j, _ in obs)
+            if has_l and has_r:
+                E[i] += L * R
+                M[i] += abs(L) * abs(R)
+                N[i] += 1
+    return E, M, N
+
+
+def test_boundary_stats_match_bruteforce():
+    """The event-driven prefix scan's (E, M, N) equal the quadratic
+    reference on random sparse matrices, flipped phases included."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        D, _ = diploid_matrix(rng, n_reads=30, n_sites=20, span=7, err=0.1)
+        w = rng.integers(5, 41, D.shape).astype(np.float32)
+        am = matrix_from_dense(D, w)
+        phase, block_id, _ = sp._initial_phase(am)
+        # arbitrary (non-converged) phases must work too
+        phase = np.where(rng.random(20) < 0.3, -phase, phase).astype(np.int8)
+        for b, (cols_b, E, M, N) in sp._junction_evidence(
+                am, phase, block_id).items():
+            Eb, Mb, Nb = _brute_boundary_stats(am, phase, block_id, b)
+            np.testing.assert_allclose(E, Eb, atol=1e-6)
+            np.testing.assert_allclose(M, Mb, atol=1e-6)
+            np.testing.assert_allclose(N, Nb, atol=1e-6)
+
+
+def test_adaptive_split_spares_strong_and_splits_weak():
+    """The adaptive rule splits a disagreeing relative-outlier junction but
+    spares (a) strong junctions and (b) weak junctions in uniformly weak
+    blocks (median-relative: nothing is an outlier)."""
+    # two dense halves joined by TWO conflicting bridge reads (rho ~ 0 at
+    # the junction) -> adaptive splits with no absolute threshold
+    rows, cols, alleles, weights = [], [], [], []
+    rid = 0
+    for lo in (0, 4):
+        for _ in range(8):
+            for j in range(lo, lo + 4):
+                rows.append(rid); cols.append(j)
+                alleles.append(1 if (j % 2 == 0) else -1)
+                weights.append(30.0)
+            rid += 1
+    # bridge reads disagree about the relative orientation
+    rows += [rid, rid]; cols += [3, 4]; alleles += [-1, 1]; weights += [20.0, 20.0]
+    rid += 1
+    rows += [rid, rid]; cols += [3, 4]; alleles += [-1, -1]; weights += [20.0, 20.0]
+    rid += 1
+    am = sp.AlleleMatrix(
+        n_reads=rid, n_sites=8,
+        site_pos=np.arange(8, dtype=np.int64) * 100 + 1000,
+        row=np.array(rows, np.int32), col=np.array(cols, np.int32),
+        allele=np.array(alleles, np.int8), weight=np.array(weights, np.float32))
+    phase, block_id, _ = sp._initial_phase(am)
+    phase = sp._power_refine(am, phase, block_id, 2)
+    new_id, new_ps = sp._split_weak_junctions(am, phase, block_id, 0.0,
+                                              adaptive=True)
+    assert new_ps is not None and len(new_ps) == 2
+    assert new_id[3] != new_id[4]
+    # uniformly weak block: every junction bridged by one thin read ->
+    # median-relative rule keeps it whole (absolute 2000 would shatter it)
+    rows2, cols2, al2, w2 = [], [], [], []
+    for r in range(6):
+        for j in (r, r + 1):
+            rows2.append(r); cols2.append(j)
+            al2.append(1 if j % 2 == 0 else -1); w2.append(6.0)
+    am2 = sp.AlleleMatrix(
+        n_reads=6, n_sites=7,
+        site_pos=np.arange(7, dtype=np.int64) * 100 + 1000,
+        row=np.array(rows2, np.int32), col=np.array(cols2, np.int32),
+        allele=np.array(al2, np.int8), weight=np.array(w2, np.float32))
+    phase2, block_id2, _ = sp._initial_phase(am2)
+    _, ps2 = sp._split_weak_junctions(am2, phase2, block_id2, 0.0,
+                                      adaptive=True)
+    assert ps2 is None  # nothing is a 20x outlier vs the block median
+    # explicit absolute threshold takes precedence over the adaptive rule:
+    # with min_e set, results equal the pure absolute rule
+    id3, ps3 = sp._split_weak_junctions(am, phase, block_id, 2000.0,
+                                        adaptive=True)
+    id4, ps4 = sp._split_weak_junctions(am, phase, block_id, 2000.0,
+                                        adaptive=False)
+    np.testing.assert_array_equal(id3, id4)
+    assert (ps3 is None) == (ps4 is None)
+
+
+def test_phase_contig_adaptive_knob(tmp_path):
+    """phase_contig plumbing: adaptive_junction_split on vs off changes the
+    block structure on a dataset with a weak disagreeing junction, and the
+    CLI flag maps to the config."""
+    from duet_tpu.cli import build_parser
+    from duet_tpu.pipeline import PipelineConfig
+
+    args = build_parser().parse_args(["r.bam", "ref.fa", "out"])
+    assert args.junction_split == "adaptive"
+    args_off = build_parser().parse_args(
+        ["r.bam", "ref.fa", "out", "--junction-split", "off"])
+    assert args_off.junction_split == "off"
+    # config default: adaptive on, absolute override wins inside the model
+    assert PipelineConfig(bam="x", reference="y",
+                          output="z").adaptive_junction_split
