@@ -142,6 +142,12 @@ class EvalResult:
     avg_sv_per_ps: float
     matches: list = field(default_factory=list)
     truth_hets: int = 0
+    # per-SVTYPE (INS/DEL/INV/DUP/BND) accuracy: {type: (n_truth, n_call,
+    # call_tp, gt_tp, phase_tp, phase_total, truth_hets)} — breakends have
+    # no SVLEN so they only score here and in the overall numbers via
+    # position matching (the reference drops them, sv_phasing_fn.py:189;
+    # scoring them is a framework extension for --phase-bnd runs)
+    per_type: dict = field(default_factory=dict)
 
     def _prf(self, tp, denom_p, denom_r):
         p = tp / denom_p if denom_p else 0.0
@@ -165,13 +171,28 @@ class EvalResult:
 
     def summary(self) -> dict:
         c, g, ph = self.calling, self.genotyping, self.phasing
-        return {
+        out = {
             "truth_svs": self.n_truth, "called_svs": self.n_call,
             "calling": {"precision": round(c[0], 4), "recall": round(c[1], 4), "f1": round(c[2], 4)},
             "genotyping": {"precision": round(g[0], 4), "recall": round(g[1], 4), "f1": round(g[2], 4)},
             "phasing": {"precision": round(ph[0], 4), "recall": round(ph[1], 4), "f1": round(ph[2], 4)},
             "avg_sv_per_phase_set": round(self.avg_sv_per_ps, 3),
         }
+        if self.per_type:
+            rows = {}
+            for t, (nt, nc, ctp, gtp, ptp, ptot, thet) in \
+                    sorted(self.per_type.items()):
+                row = {"truth": nt, "called": nc}
+                for name, tp in (("calling", ctp), ("genotyping", gtp)):
+                    p, r, f = self._prf(tp, nc, nt)
+                    row[name] = {"precision": round(p, 4),
+                                 "recall": round(r, 4), "f1": round(f, 4)}
+                p, r, f = self._prf(ptp, ptot, max(thet, ptot))
+                row["phasing"] = {"precision": round(p, 4),
+                                  "recall": round(r, 4), "f1": round(f, 4)}
+                rows[t] = row
+            out["per_type"] = rows
+        return out
 
 
 def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
@@ -217,21 +238,44 @@ def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
 
     # phasing: per call phase set, orientation-invariant het agreement.
     # precision is over matched phased het pairs; recall over ALL truth hets
-    # (unmatched truth hets count as misses)
-    ps_groups: dict[str, list[tuple[str, str]]] = {}
+    # (unmatched truth hets count as misses).  The per-group polarity is
+    # chosen over ALL types together (one orientation per phase set), then
+    # attributed per type for the breakdown.
+    ps_groups: dict[str, list[tuple[str, str, str]]] = {}
     for ci, ti in matches:
         c, t = calls[ci], truth[ti]
         if c.gt in ("1|0", "0|1") and t.gt in ("1|0", "0|1"):
-            ps_groups.setdefault(c.ps, []).append((c.gt, t.gt))
+            ps_groups.setdefault(c.ps, []).append((c.gt, t.gt, c.svtype))
     phase_tp = 0
     phase_total = 0
+    type_phase: dict[str, list[int]] = {}   # type -> [tp, total]
     flip = {"1|0": "0|1", "0|1": "1|0"}
     for pairs in ps_groups.values():
-        same = sum(cg == tg for cg, tg in pairs)
-        flipped = sum(flip[cg] == tg for cg, tg in pairs)
+        same = sum(cg == tg for cg, tg, _ in pairs)
+        flipped = sum(flip[cg] == tg for cg, tg, _ in pairs)
+        use_flip = flipped > same
         phase_tp += max(same, flipped)
         phase_total += len(pairs)
+        for cg, tg, ty in pairs:
+            acc = type_phase.setdefault(ty, [0, 0])
+            acc[0] += (flip[cg] == tg) if use_flip else (cg == tg)
+            acc[1] += 1
     truth_hets = sum(t.gt in ("1|0", "0|1", "het") for t in truth)
+
+    # per-SVTYPE breakdown
+    per_type: dict[str, list[int]] = {}
+    for t in truth:
+        per_type.setdefault(t.svtype, [0] * 7)[0] += 1
+        per_type[t.svtype][6] += t.gt in ("1|0", "0|1", "het")
+    for c in calls:
+        per_type.setdefault(c.svtype, [0] * 7)[1] += 1
+    for ci, ti in matches:
+        row = per_type[calls[ci].svtype]
+        row[2] += 1
+        row[3] += _gt_class(calls[ci].gt) == _gt_class(truth[ti].gt)
+    for ty, (tp, tot) in type_phase.items():
+        per_type.setdefault(ty, [0] * 7)[4] += tp
+        per_type[ty][5] += tot
 
     # avg SVs per phase set over the emitted callset
     ps_counts: dict[str, int] = {}
@@ -242,7 +286,8 @@ def evaluate_callsets(truth: list[EvalEntry], calls: list[EvalEntry],
 
     return EvalResult(len(truth), len(calls), call_tp, gt_tp,
                       phase_tp, phase_total, avg, matches,
-                      truth_hets=truth_hets)
+                      truth_hets=truth_hets,
+                      per_type={k: tuple(v) for k, v in per_type.items()})
 
 
 def evaluate_files(call_vcf: str, truth_vcf: str, refdist: int = 1000,

@@ -489,11 +489,48 @@ def _haplotag(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
 
 HAPLOTAG_BATCH = 16   # 256-row chunks per device call (single fixed shape)
 HAPLOTAG_B = 126      # block columns per window: K = 2 + B = one 128-lane tile
+# single-device dispatch formulation: "sparse" ships the COO and scores the
+# whole contig in ONE segment-sum call (~12B/obs over the link — measured
+# fastest through the TPU tunnel, docs/SCALING.md); "dense" is the windowed
+# MXU-matmul path (the right kernel when data is already device-resident:
+# the bench K1 metric, and the mesh path which always uses it)
+HAPLOTAG_DEVICE_MODE = "sparse"
+
+
+def _haplotag_sparse_device(am: AlleleMatrix, phase: np.ndarray,
+                            block_id: np.ndarray, block_ps: np.ndarray):
+    """Whole-contig device scoring over the COO (ops.sparse_power); reads
+    spanning more than SLOT_K phase-set blocks fall back to the host path.
+    Bit-identical to _haplotag (integer-exact f32 segment sums)."""
+    from duet_tpu.ops.sparse_power import haplotag_score_sparse
+
+    n = am.n_reads
+    read_hap = np.zeros(n, dtype=np.int8)
+    read_ps = np.full(n, -1, dtype=np.int64)
+    read_pc = np.full(n, -1, dtype=np.int32)
+    if am.n_sites == 0 or len(am.row) == 0 or len(block_ps) == 0:
+        return read_hap, read_ps, read_pc
+    hap, pc, best, overflow = haplotag_score_sparse(am, phase, block_id)
+    tagged = (hap != 0) & ~overflow
+    read_hap[tagged] = hap[tagged]
+    read_pc[tagged] = pc[tagged]
+    read_ps[tagged] = block_ps[best[tagged]]
+    wide = np.flatnonzero(overflow)
+    if len(wide):
+        sub = np.isin(am.row, wide)
+        sub_am = AlleleMatrix(n, am.n_sites, am.site_pos, am.row[sub],
+                              am.col[sub], am.allele[sub], am.weight[sub])
+        h, p, c = _haplotag(sub_am, phase, block_id, block_ps)
+        read_hap[wide] = h[wide]
+        read_ps[wide] = p[wide]
+        read_pc[wide] = c[wide]
+    return read_hap, read_ps, read_pc
 
 
 def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
                      block_ps: np.ndarray, window: int = 2048, halo: int = 256,
-                     mesh=None, batch: int = HAPLOTAG_BATCH):
+                     mesh=None, batch: int = HAPLOTAG_BATCH,
+                     mode: str | None = None):
     """Device-windowed read scoring (K1 in the pipeline).
 
     Sites are position-sorted, so they split into fixed windows of `window`
@@ -531,6 +568,8 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
         chunk = 256 * dp
         use_pallas = False
     else:
+        if (mode or HAPLOTAG_DEVICE_MODE) == "sparse":
+            return _haplotag_sparse_device(am, phase, block_id, block_ps)
         sp, chunk = 1, 256
         # Pallas/Mosaic kernels are TPU-only ("axon" is the tunneled TPU
         # platform); any other accelerator keeps the plain-XLA path

@@ -71,21 +71,26 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         host = _haplotag(am, phase, block_id, block_ps)
         host_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        dev = _haplotag_device(am, phase, block_id, block_ps)
-        first_s = time.perf_counter() - t0   # includes compile on first shape
-        t0 = time.perf_counter()
-        dev = _haplotag_device(am, phase, block_id, block_ps)
-        dev_s = time.perf_counter() - t0
-        for h, d in zip(host, dev):
-            np.testing.assert_array_equal(h, d)
-        rows.append({"nnz": nnz, "reads": am.n_reads, "sites": am.n_sites,
-                     "host_s": round(host_s, 4), "device_s": round(dev_s, 4),
-                     "device_first_s": round(first_s, 4),
-                     "speedup": round(host_s / dev_s, 2)})
-        print(f"# nnz={nnz} host={host_s:.3f}s device={dev_s:.3f}s "
-              f"(first {first_s:.1f}s)", file=sys.stderr)
-    cross = next((r["nnz"] for r in rows if r["speedup"] > 1.0), None)
+        row = {"nnz": nnz, "reads": am.n_reads, "sites": am.n_sites,
+               "host_s": round(host_s, 4)}
+        for mode in ("sparse", "dense"):
+            t0 = time.perf_counter()
+            dev = _haplotag_device(am, phase, block_id, block_ps, mode=mode)
+            first_s = time.perf_counter() - t0  # compile on first shape
+            t0 = time.perf_counter()
+            dev = _haplotag_device(am, phase, block_id, block_ps, mode=mode)
+            dev_s = time.perf_counter() - t0
+            for h, d in zip(host, dev):
+                np.testing.assert_array_equal(h, d)
+            row[f"{mode}_s"] = round(dev_s, 4)
+            row[f"{mode}_first_s"] = round(first_s, 4)
+            row[f"{mode}_speedup"] = round(host_s / dev_s, 2)
+        rows.append(row)
+        print(f"# nnz={nnz} host={host_s:.3f}s sparse={row['sparse_s']:.3f}s "
+              f"dense={row['dense_s']:.3f}s (first "
+              f"{row['sparse_first_s']:.1f}/{row['dense_first_s']:.1f}s)",
+              file=sys.stderr)
+    cross = next((r["nnz"] for r in rows if r["sparse_speedup"] > 1.0), None)
     print(json.dumps({"backend": jax.default_backend(),
                       "crossover_nnz": cross, "rows": rows}))
     return 0

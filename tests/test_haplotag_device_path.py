@@ -22,7 +22,8 @@ def test_windowed_device_matches_host(seed, window, halo, batch):
 
     host = sp._haplotag(am, phase, block_id, block_ps)
     dev = sp._haplotag_device(am, phase, block_id, block_ps,
-                              window=window, halo=halo, batch=batch)
+                              window=window, halo=halo, batch=batch,
+                              mode="dense")
     for h, d, name in zip(host, dev, ("hap", "ps", "pc")):
         np.testing.assert_array_equal(d, h, err_msg=name)
 
@@ -38,7 +39,7 @@ def test_batched_dispatch_call_count():
     phase, block_id, block_ps = sp._initial_phase(am)
     dispatch.reset()
     sp._haplotag_device(am, phase, block_id, block_ps, window=16, halo=4,
-                        batch=16)
+                        batch=16, mode="dense")
     calls = dispatch.snapshot().get("haplotag", {}).get("device", 0)
     # 900 reads over ~8 windows -> >= 8 chunks, but batched into one launch
     assert calls == 1
@@ -66,7 +67,7 @@ def test_overfull_window_falls_back_to_host():
     assert len(block_ps) > sp.HAPLOTAG_B
     host = sp._haplotag(am, phase, block_id, block_ps)
     dev = sp._haplotag_device(am, phase, block_id, block_ps,
-                              window=4096, halo=256)
+                              window=4096, halo=256, mode="dense")
     for h, d, name in zip(host, dev, ("hap", "ps", "pc")):
         np.testing.assert_array_equal(d, h, err_msg=name)
 
@@ -99,3 +100,62 @@ def test_sparse_power_refine_device_matches_host():
     host = sp._power_refine(am, phase0.copy(), block_id, sweeps=3)
     dev = power_refine_device(am, phase0.copy(), block_id, sweeps=3)
     np.testing.assert_array_equal(dev, host)
+
+
+@pytest.mark.parametrize("seed,err", [(0, 0.05), (5, 0.15), (9, 0.0)])
+def test_sparse_device_scoring_matches_host(seed, err):
+    """The COO segment-sum scorer (the production single-device route) is
+    bit-equal to the sparse host path, multi-block structure included."""
+    rng = np.random.default_rng(seed)
+    D, _ = diploid_matrix(rng, n_reads=250, n_sites=120, span=9, err=err)
+    # carve coverage gaps so several phase-set blocks form
+    D[:, 40:42] = 0
+    D[:, 80:81] = 0
+    am = matrix_from_dense(D)
+    phase, block_id, block_ps = sp._initial_phase(am)
+    phase = sp._power_refine(am, phase, block_id, sweeps=2)
+    host = sp._haplotag(am, phase, block_id, block_ps)
+    dev = sp._haplotag_device(am, phase, block_id, block_ps, mode="sparse")
+    for h, d, name in zip(host, dev, ("hap", "ps", "pc")):
+        np.testing.assert_array_equal(d, h, err_msg=name)
+
+
+def test_sparse_device_single_call_and_overflow_fallback():
+    """The whole contig scores in ONE device call; a read spanning more
+    than SLOT_K phase-set blocks routes to the host fallback and outputs
+    stay equal."""
+    from duet_tpu.ops.sparse_power import SLOT_K
+    from duet_tpu.utils import dispatch
+
+    n_blocks = SLOT_K + 4
+    rows, cols, alleles, weights = [], [], [], []
+    rid = 0
+    for b in range(n_blocks):          # per-block anchor reads (2 sites)
+        for _ in range(3):
+            for j in (2 * b, 2 * b + 1):
+                rows.append(rid); cols.append(j)
+                alleles.append(1 if j % 2 == 0 else -1); weights.append(30.0)
+            rid += 1
+    # one read with an observation in EVERY block (> SLOT_K span)
+    for b in range(n_blocks):
+        rows.append(rid); cols.append(2 * b)
+        alleles.append(1); weights.append(20.0)
+    rid += 1
+    am = sp.AlleleMatrix(
+        n_reads=rid, n_sites=2 * n_blocks,
+        site_pos=np.arange(2 * n_blocks, dtype=np.int64) * 5000,
+        row=np.array(rows, np.int32), col=np.array(cols, np.int32),
+        allele=np.array(alleles, np.int8),
+        weight=np.array(weights, np.float32))
+    # hand-split block structure (multi-block reads only arise AFTER weak-
+    # junction splitting — spanning reads join blocks at _initial_phase):
+    # one block per site pair, so the wide read touches every block
+    block_id = (np.arange(2 * n_blocks) // 2).astype(np.int32)
+    block_ps = am.site_pos[::2] + 1
+    phase = np.array([1, -1] * n_blocks, dtype=np.int8)
+    host = sp._haplotag(am, phase, block_id, block_ps)
+    dispatch.reset()
+    dev = sp._haplotag_device(am, phase, block_id, block_ps, mode="sparse")
+    assert dispatch.snapshot().get("haplotag", {}).get("device", 0) == 1
+    for h, d, name in zip(host, dev, ("hap", "ps", "pc")):
+        np.testing.assert_array_equal(d, h, err_msg=name)
