@@ -68,9 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="genotype and phase breakend (BND) junctions through "
                         "the decision stage too (the reference filters them "
                         "out with SVLEN<min_size)")
-    p.add_argument("--snp-model", default="counts", choices=["counts", "nn"],
-                   help="SNP-calling model: exact-rational counting rule "
-                        "(default) or the neural pileup caller "
+    p.add_argument("--snp-model", default="auto",
+                   choices=["auto", "counts", "nn"],
+                   help="SNP-calling model: 'auto' (default) picks per "
+                        "contig from the data's measured error rate and "
+                        "coverage (the nn wins only at >=3.5%% observed "
+                        "substitutions and >=7x — the measured grid in "
+                        "README); 'counts' is the exact-rational counting "
+                        "rule, 'nn' the neural pileup caller "
                         "(models/nn_snp.py — the MXU analogue of Clair3's "
                         "pileup network)")
     p.add_argument("--min-junction-evidence", type=float, default=0.0,

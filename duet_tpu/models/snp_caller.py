@@ -196,12 +196,42 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
     )
 
 
+# --snp-model auto policy, from the measured coverage x error grid
+# (README "SNP model head-to-head", tools/snp_grid.py): the neural caller
+# beats the exact-rational counting rule only in the high-error regime
+# (>=5% substitutions) at workable coverage (>=8x); everywhere else the
+# counting rule's tuned min-alt floor wins or ties.  The thresholds sit at
+# the measured boundary midpoints.
+AUTO_NN_MIN_ERR = 0.035   # observed non-ref fraction (error + ~0.1% variants)
+AUTO_NN_MIN_COV = 7.0     # mean depth
+
+
+def choose_snp_model(counts: np.ndarray, ref_codes: np.ndarray) -> str:
+    """Pick counts/nn from the data itself: the (L,4) count image gives the
+    observed substitution rate (non-reference observation fraction — true
+    variants contribute ~0.1% at human densities, sequencing error 1-15%)
+    and the mean coverage, the two axes of the measured decision grid."""
+    total = int(counts.sum(dtype=np.int64))
+    if total == 0:
+        return "counts"
+    ok = np.flatnonzero(ref_codes < 4)
+    ref_sum = int(counts[ok, ref_codes[ok]].sum(dtype=np.int64))
+    err = 1.0 - ref_sum / total
+    cov = total / max(len(ref_codes), 1)
+    return "nn" if (err >= AUTO_NN_MIN_ERR and cov >= AUTO_NN_MIN_COV) \
+        else "counts"
+
+
 def call_snps_any(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
                   cfg: SnpCallConfig) -> ContigSnps:
-    """Dispatch on cfg.model: the counting rule or the neural caller."""
+    """Dispatch on cfg.model: the counting rule, the neural caller, or the
+    measured-envelope auto policy (choose_snp_model)."""
     from duet_tpu.utils import dispatch
 
-    if cfg.model == "nn":
+    model = cfg.model
+    if model == "auto":
+        model = choose_snp_model(counts, ref_codes)
+    if model == "nn":
         from duet_tpu.models.nn_snp import nn_call_snps
 
         dispatch.record("snp_pileup", "nn")
@@ -309,7 +339,9 @@ def snp_call_observations(contig: str, obs, ref_codes: np.ndarray,
     dispatch the batch and streaming pipelines use (host numpy counting, the
     device kernel, or the neural caller).  `counts` short-circuits the
     host bincount when the native pileup pass already produced the image."""
-    if cfg.device and cfg.model == "counts":
+    # forced device pileup implements the counting rule; "auto" resolves to
+    # it there (the nn is a host/MXU-matmul model with its own path)
+    if cfg.device and cfg.model in ("counts", "auto"):
         return call_snps_device(contig, obs, ref_codes, cfg)
     if counts is None:
         counts = count_alleles(obs[0], obs[1], obs[2], len(ref_codes),
@@ -345,7 +377,7 @@ def call_contig_snps(contig: str, cr: ContigReads, ref_codes: np.ndarray,
     observation array (plus its searchsorted site filter) with a ~40k-row
     one.  The device model and the no-native fallback keep the full-stream
     path; every path is output-identical (tests pin it)."""
-    if cfg.model in ("counts", "nn") and not cfg.device:
+    if cfg.model in ("counts", "nn", "auto") and not cfg.device:
         try:
             from duet_tpu.io.native_ingest import (
                 pileup_counts_native,

@@ -93,7 +93,9 @@ class PipelineConfig:
     process_id: int | None = None
     coordinator: str | None = None
 
-    snp_model: str = "counts"           # "counts" | "nn" (neural pileup
+    snp_model: str = "auto"             # "auto" (measured-envelope pick,
+                                        # models/snp_caller.choose_snp_model)
+                                        # | "counts" | "nn" (neural pileup
                                         # caller — Clair3's role, on the MXU)
     device_stages: str = "auto"         # route pileup counting + SV
                                         # clustering through the jitted

@@ -118,3 +118,49 @@ def test_training_labeler():
     tgt = np.array([[1, 0], [1, 1], [1, 1]], dtype=np.int8)
     y = nn_snp._label_candidates(pos, alt, tpos, talt, tgt)
     assert y.tolist() == [0, 1, 0, 2]
+
+
+def test_auto_model_policy(tmp_path):
+    """--snp-model auto picks per the measured envelope: counts on clean
+    data, nn on high-error data at workable coverage, counts again when
+    coverage is too thin for the network (README grid)."""
+    from duet_tpu.models.snp_caller import choose_snp_model
+
+    rng = np.random.default_rng(0)
+    L = 50_000
+    ref = rng.integers(0, 4, L).astype(np.uint8)
+
+    def image(cov, err):
+        counts = np.zeros((L, 4), np.int32)
+        n_err = int(L * cov * err)
+        n_ok = int(L * cov) - n_err
+        ok_pos = rng.integers(0, L, n_ok)
+        np.add.at(counts, (ok_pos, ref[ok_pos]), 1)
+        err_pos = rng.integers(0, L, n_err)
+        np.add.at(counts, (err_pos, (ref[err_pos] + rng.integers(1, 4, n_err)) % 4), 1)
+        return counts
+
+    assert choose_snp_model(image(15, 0.02), ref) == "counts"
+    assert choose_snp_model(image(15, 0.05), ref) == "nn"
+    assert choose_snp_model(image(5, 0.05), ref) == "counts"  # too thin
+    assert choose_snp_model(np.zeros((L, 4), np.int32), ref) == "counts"
+
+
+def test_pipeline_auto_model_dispatch(tmp_path):
+    """End-to-end: auto resolves to counts on a clean sim (recorded in the
+    dispatch table) and outputs equal an explicit counts run."""
+    from duet_tpu.pipeline import PipelineConfig, run_pipeline
+    from duet_tpu.sim import SimConfig, simulate_dataset
+    from duet_tpu.utils import dispatch
+
+    simulate_dataset(str(tmp_path), SimConfig(
+        contigs={"chr21": 100_000}, coverage=15.0, seed=4))
+    base = dict(bam=str(tmp_path / "reads.bam"),
+                reference=str(tmp_path / "ref.fa"), use_device_kernel=False)
+    auto_vcf = run_pipeline(PipelineConfig(
+        output=str(tmp_path / "o_auto"), snp_model="auto", **base))
+    snap = dispatch.snapshot().get("snp_pileup", {})
+    assert snap.get("host", 0) >= 1 and snap.get("nn", 0) == 0
+    counts_vcf = run_pipeline(PipelineConfig(
+        output=str(tmp_path / "o_counts"), snp_model="counts", **base))
+    assert open(auto_vcf, "rb").read() == open(counts_vcf, "rb").read()
