@@ -78,6 +78,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "rule, 'nn' the neural pileup caller "
                         "(models/nn_snp.py — the MXU analogue of Clair3's "
                         "pileup network)")
+    p.add_argument("--decision-model", default="verbatim",
+                   choices=["verbatim", "learned"],
+                   help="genotype/phase decision layer: the reference's "
+                        "verbatim T1-T5 tree (default, byte-parity "
+                        "contract) or a CART refit on framework features "
+                        "from simulation truth (models/decision_model.py "
+                        "-- the reference tree's magnitude thresholds were "
+                        "tuned on WhatsHap PCs and are dead code on "
+                        "framework data, docs/PC_SCALE.md)")
     p.add_argument("--min-junction-evidence", type=float, default=0.0,
                    metavar="E",
                    help="end phase-set blocks at junctions whose converged "
@@ -142,6 +151,7 @@ def main(argv: list[str] | None = None) -> int:
         haplotag_bam=args.haplotag_bam,
         snp_model=args.snp_model,
         phase_bnd=args.phase_bnd,
+        decision_model=args.decision_model,
         min_junction_evidence=args.min_junction_evidence,
         adaptive_junction_split=(args.junction_split == "adaptive"
                                  and args.min_junction_evidence <= 0),

@@ -1,0 +1,93 @@
+"""Learned decision layer over the phasing feature block (flag-gated).
+
+The verbatim T1-T5 tree (sv_phaser.decide_haplotype) is the parity
+contract with the reference — its thresholds were trained on WhatsHap's
+PC scale, and on framework data the magnitude gates (hap_avgsc_diff <=
+1369.50/2400, totsc_ratio <= 9.72) are measured dead code
+(docs/PC_SCALE.md): framework PCs are clipped and symmetric, so those
+features never bind.  This module converts the dead features into
+accuracy: a small CART refit ON FRAMEWORK FEATURES from simulation truth
+(tools/train_decision.py), shipped as JSON and evaluated with a
+dependency-free vectorized traversal.
+
+Opt-in via `--decision-model learned`; the default pipeline path and all
+reference-parity tests keep the verbatim tree.  The learned model
+predicts the GT CLASS only {0 filtered, 1 het, 2 hom} — deliberately
+side-symmetric — and the het SIDE (1|0 vs 0|1) comes from the evidence
+direction exactly as the verbatim tree chooses it (larger per-haplotype
+PC mass, avgsc when only one side has evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+# side-symmetric feature vector (order is the serialized contract)
+FEATURE_NAMES = (
+    "regime", "sv_ratio", "hapread_ratio", "totsc_ratio", "onehap_totsc",
+    "hap_avgsc_diff", "hap_min", "hap_max", "hap0", "allhap",
+    "totsc_min", "totsc_max", "ref_num", "sv_num",
+)
+
+_MODEL_PATH = os.path.join(os.path.dirname(__file__), "weights",
+                           "decision_tree_v1.json")
+
+
+def feature_matrix(f, regime: np.ndarray) -> np.ndarray:
+    """(n, len(FEATURE_NAMES)) float64 from a PhaseFeatures block."""
+    return np.stack([
+        regime.astype(np.float64),
+        f.sv_ratio, f.hapread_ratio, f.totsc_ratio, f.onehap_totsc,
+        f.hap_avgsc_diff,
+        np.minimum(f.hap1, f.hap2), np.maximum(f.hap1, f.hap2),
+        f.hap0, f.allhap,
+        np.minimum(f.hap1_totsc, f.hap2_totsc),
+        np.maximum(f.hap1_totsc, f.hap2_totsc),
+        f.ref_num, f.sv_num,
+    ], axis=1)
+
+
+def load_model(path: str | None = None) -> dict:
+    with open(path or _MODEL_PATH) as fh:
+        model = json.load(fh)
+    if model.get("features") != list(FEATURE_NAMES):
+        raise ValueError("decision model feature contract mismatch")
+    return model
+
+
+def _eval_tree(node: dict, X: np.ndarray, out: np.ndarray,
+               mask: np.ndarray) -> None:
+    if not mask.any():
+        return
+    if "leaf" in node:
+        out[mask] = node["leaf"]
+        return
+    go_left = X[:, node["feature"]] <= node["threshold"]
+    _eval_tree(node["left"], X, out, mask & go_left)
+    _eval_tree(node["right"], X, out, mask & ~go_left)
+
+
+def predict_class(model: dict, X: np.ndarray) -> np.ndarray:
+    """Vectorized traversal: per-row class in {0 filtered, 1 het, 2 hom}."""
+    out = np.zeros(len(X), dtype=np.int64)
+    _eval_tree(model["tree"], X, out, np.ones(len(X), dtype=bool))
+    return out
+
+
+def decide_haplotype_learned(f, regime: np.ndarray,
+                             model: dict | None = None) -> np.ndarray:
+    """Drop-in for sv_phaser.decide_haplotype: 0 filtered, 1 '1|0',
+    2 '0|1', 3 '1|1'.  Class from the learned tree; het side from the
+    evidence direction (the verbatim tree's own side rules)."""
+    model = model or load_model()
+    cls = predict_class(model, feature_matrix(f, regime))
+    # het side: larger PC mass wins; when only one side has evidence the
+    # average-score side (verbatim regime-1 onehap rule) — identical here
+    # since the massless side has avgsc 0 too
+    side = np.where(f.hap1_totsc > f.hap2_totsc, 1,
+                    np.where(f.hap2_totsc > f.hap1_totsc, 2,
+                             np.where(f.hap1_avgsc > 0, 1, 2)))
+    return np.where(cls == 1, side, np.where(cls == 2, 3, 0)).astype(np.int64)

@@ -286,6 +286,7 @@ def phase_chromosome(
     support_min: int,
     use_device: bool = False,
     phase_bnd: bool = False,
+    decision_model: str = "verbatim",
 ) -> list[dict]:
     """Full phasing of one chromosome's callset; returns phased-call dicts
     (unsorted — the caller applies the global lexicographic sort).
@@ -314,7 +315,17 @@ def phase_chromosome(
         return []
     from duet_tpu.utils import dispatch
 
-    if use_device and packed.tagged.shape[1] <= 500:
+    if decision_model == "learned":
+        # opt-in refit tree on framework features (models/decision_model);
+        # host feature path — the parity-pinned verbatim tree (and its
+        # device kernel) is the default and untouched
+        from duet_tpu.models.decision_model import decide_haplotype_learned
+
+        dispatch.record("sv_decide", "host")
+        feats = compute_features(packed, regime, oneps)
+        pred = decide_haplotype_learned(feats, regime)
+        feats_ps = feats.ps
+    elif use_device and packed.tagged.shape[1] <= 500:
         from duet_tpu.ops.phase_decide import phase_decide_packed
 
         dispatch.record("sv_decide", "device")
@@ -352,6 +363,7 @@ def phase_callset(
     support_min: int,
     use_device: bool = False,
     phase_bnd: bool = False,
+    decision_model: str = "verbatim",
 ) -> list[dict]:
     """Phase all chromosomes and apply the reference's final ordering:
     lexicographic on the chrom string, numeric on pos (sv_phasing_fn.py:229)."""
@@ -360,7 +372,8 @@ def phase_callset(
         phased.extend(
             phase_chromosome(records, read_hap_by_chrom.get(name, {}),
                              svlen_min, support_min, use_device=use_device,
-                             phase_bnd=phase_bnd)
+                             phase_bnd=phase_bnd,
+                             decision_model=decision_model)
         )
     phased.sort(key=lambda c: (c["chrom"], c["pos"]))
     return phased

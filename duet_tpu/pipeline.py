@@ -68,6 +68,10 @@ class PipelineConfig:
     phase_bnd: bool = False             # genotype+phase breakends too (the
                                         # reference drops them at the SVLEN
                                         # filter, sv_phasing_fn.py:189)
+    decision_model: str = "verbatim"    # "verbatim" (the reference's T1-T5
+                                        # tree, the parity contract) |
+                                        # "learned" (CART refit on framework
+                                        # features, models/decision_model)
     min_junction_evidence: float = 0.0  # split phase-set blocks at weak
                                         # junctions below an ABSOLUTE
                                         # evidence threshold (min(this,
@@ -584,6 +588,7 @@ def stage_sv_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     phased = sv_phaser.phase_callset(
         per_chrom, read_haps, cfg.sv_min_size, cfg.min_support_read,
         use_device=decide_on_device, phase_bnd=cfg.phase_bnd,
+        decision_model=cfg.decision_model,
     )
     write_phased_sv_header(variants, artifact, cfg.include_all_ctgs)
     append_phased_sv_records(phased, artifact)

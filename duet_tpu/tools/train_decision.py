@@ -1,0 +1,167 @@
+"""Train the learned decision layer on simulation truth (VERDICT r2 #9).
+
+Collects (feature, truth-class) rows from full pipeline runs across
+coverages x seeds, fits a small CART (sklearn at TRAIN time only; the
+runtime evaluator in models/decision_model.py is dependency-free JSON),
+reports held-out e2e F1 head-to-head vs the verbatim T1-T5 tree, and
+writes models/weights/decision_tree_v1.json.
+
+    python -m duet_tpu.tools.train_decision [--quick] [--out PATH]
+
+Labels: each candidate call (post svlen/support filter, the exact set the
+decision stage sees) matches truth by chrom+type+pos<=1000 nearest-unused;
+matched -> {1 het, 2 hom} from the truth GT, unmatched -> 0 (filtered).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+from duet_tpu.models.decision_model import FEATURE_NAMES, feature_matrix
+
+TRAIN = [(cov, seed) for cov in (8, 10, 12, 14, 20) for seed in (201, 202, 203)]
+HOLDOUT = [(cov, seed) for cov in (8, 10, 12, 14, 20) for seed in (301, 302)]
+
+
+def collect_rows(data_dir: str, out_dir: str):
+    """(X, y, out_dir ready) for one simulated dataset; the pipeline runs
+    with the verbatim tree (the decision layer does not affect features)."""
+    from duet_tpu.eval.evaluate import (EvalEntry, _gt_class,
+                                        evaluate_callsets, load_eval_vcf)
+    from duet_tpu.io.haplotag_bam import read_hap_tables_from_dir
+    from duet_tpu.models.sv_phaser import (attach_read_haplotypes,
+                                           build_oneps_set, compute_features,
+                                           distinct_ps_regime, pack_calls)
+    from duet_tpu.pipeline import PipelineConfig, parse_sv_vcf, run_pipeline
+    from duet_tpu.utils.chrom import strip_chr
+
+    run_pipeline(PipelineConfig(
+        bam=os.path.join(data_dir, "reads.bam"),
+        reference=os.path.join(data_dir, "ref.fa"),
+        output=out_dir, use_device_kernel=False))
+    per_chrom = parse_sv_vcf(
+        os.path.join(out_dir, "sv_calling", "variants.vcf"), False)
+    read_haps = read_hap_tables_from_dir(
+        os.path.join(out_dir, "snp_phasing"), list(per_chrom))
+    truth = load_eval_vcf(os.path.join(data_dir, "truth.vcf"))
+
+    X_parts, y_parts = [], []
+    for chrom, records in per_chrom.items():
+        rh = read_haps.get(chrom, {})
+        attach_read_haplotypes(records, rh)
+        kept = [r for r in records
+                if abs(r.svlen) >= 50 and r.support >= 2 and r.gt != "./."]
+        if not kept:
+            continue
+        packed = pack_calls(kept)
+        regime = distinct_ps_regime(packed)
+        oneps = build_oneps_set(packed, np.ones(packed.n, bool), regime)
+        if len(oneps) == 0:
+            continue
+        feats = compute_features(packed, regime, oneps)
+        X = feature_matrix(feats, regime)
+        calls = [EvalEntry(strip_chr(r.chrom), r.pos, r.svtype,
+                           abs(r.svlen), "het", ".") for r in kept]
+        res = evaluate_callsets(truth, calls)
+        y = np.zeros(len(kept), dtype=np.int64)
+        for ci, ti in res.matches:
+            y[ci] = 1 if _gt_class(truth[ti].gt) == "het" else 2
+        X_parts.append(X)
+        y_parts.append(y)
+    if not X_parts:
+        return np.zeros((0, len(FEATURE_NAMES))), np.zeros(0, np.int64)
+    return np.concatenate(X_parts), np.concatenate(y_parts)
+
+
+def export_sklearn_tree(clf) -> dict:
+    """sklearn tree_ -> the runtime's nested-dict JSON."""
+    t = clf.tree_
+
+    def node(i: int):
+        if t.children_left[i] == -1:
+            counts = t.value[i][0]
+            return {"leaf": int(clf.classes_[int(np.argmax(counts))])}
+        return {
+            "feature": int(t.feature[i]),
+            "threshold": float(t.threshold[i]),
+            "left": node(int(t.children_left[i])),
+            "right": node(int(t.children_right[i])),
+        }
+
+    return {"features": list(FEATURE_NAMES), "tree": node(0)}
+
+
+def e2e_f1(data_dir: str, decision_model: str) -> dict:
+    from duet_tpu.eval.evaluate import evaluate_files
+    from duet_tpu.pipeline import PipelineConfig, run_pipeline
+
+    with tempfile.TemporaryDirectory(prefix="dtrain_e2e_") as out:
+        run_pipeline(PipelineConfig(
+            bam=os.path.join(data_dir, "reads.bam"),
+            reference=os.path.join(data_dir, "ref.fa"),
+            output=out, use_device_kernel=False,
+            decision_model=decision_model))
+        s = evaluate_files(os.path.join(out, "phased_sv.vcf"),
+                           os.path.join(data_dir, "truth.vcf")).summary()
+    return {k: s[k]["f1"] for k in ("calling", "genotyping", "phasing")}
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    quick = "--quick" in argv
+    out_path = (argv[argv.index("--out") + 1] if "--out" in argv else
+                os.path.join(os.path.dirname(__file__), "..", "models",
+                             "weights", "decision_tree_v1.json"))
+    from sklearn.tree import DecisionTreeClassifier
+
+    from duet_tpu.sim.simulate import SimConfig, simulate_dataset
+
+    train = TRAIN[:4] if quick else TRAIN
+    holdout = HOLDOUT[:2] if quick else HOLDOUT
+    mb = 0.25 if quick else 0.5
+
+    def dataset(cov, seed):
+        d = tempfile.mkdtemp(prefix=f"dtrain_{cov}_{seed}_")
+        simulate_dataset(d, SimConfig(contigs={"chr21": int(mb * 1e6)},
+                                      seed=seed, coverage=float(cov)))
+        return d
+
+    Xs, ys = [], []
+    for cov, seed in train:
+        d = dataset(cov, seed)
+        with tempfile.TemporaryDirectory(prefix="dtrain_out_") as out:
+            X, y = collect_rows(d, out)
+        Xs.append(X)
+        ys.append(y)
+    X = np.concatenate(Xs)
+    y = np.concatenate(ys)
+    clf = DecisionTreeClassifier(max_depth=5, min_samples_leaf=15,
+                                 random_state=0)
+    clf.fit(X, y)
+    model = export_sklearn_tree(clf)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(model, fh, indent=1)
+
+    rows = []
+    for cov, seed in holdout:
+        d = dataset(cov, seed)
+        rows.append({"cov": cov, "seed": seed,
+                     "verbatim": e2e_f1(d, "verbatim"),
+                     "learned": e2e_f1(d, "learned")})
+    print(json.dumps({
+        "train_rows": int(len(y)),
+        "class_counts": {int(c): int((y == c).sum()) for c in np.unique(y)},
+        "model": out_path,
+        "holdout": rows,
+    }, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
