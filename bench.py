@@ -116,10 +116,17 @@ def bench_kernel(quick: bool) -> dict:
     }
 
 
-def bench_e2e(megabases: float) -> dict:
+def bench_e2e(megabases: float, device_stages: str = "auto") -> dict:
     """Simulate ~`megabases` Mb of reads and run the full pipeline on the
     live backend (warm persistent compile cache), reference-style per-stage
-    wall-clock + pipeline reads/s."""
+    wall-clock + pipeline reads/s.
+
+    device_stages="auto" is the production configuration (measured size
+    gates route small inputs to the host — docs/SCALING.md records why the
+    host wins every realistic size through this environment's TPU tunnel);
+    "on" forces every stage's device kernel (sparse COO haplotag route),
+    proving the chip path end-to-end with honest per-stage dispatch
+    counts."""
     import os
     import tempfile
 
@@ -148,7 +155,7 @@ def bench_e2e(megabases: float) -> dict:
             run_pipeline(PipelineConfig(
                 bam=os.path.join(data, "reads.bam"),
                 reference=os.path.join(data, "ref.fa"),
-                output=out,
+                output=out, device_stages=device_stages,
             ))
             totals[label] = time.perf_counter() - t0
         with open(os.path.join(out, "metrics.json")) as f:
@@ -171,8 +178,10 @@ def bench_e2e(megabases: float) -> dict:
             )
         except Exception as e:
             print(f"# native decoder bench skipped: {e}", file=sys.stderr)
+    ingest_s = m["stages"].get("ingest", 0.0)
     result = {
         "backend": jax.default_backend(),
+        "device_stages": device_stages,
         "megabases": n_contigs,
         "reads": m["counts"]["reads"],
         "sim_s": round(sim_s, 2),
@@ -181,6 +190,7 @@ def bench_e2e(megabases: float) -> dict:
         "reads_per_s": round(m["counts"]["reads"] / totals["warm"], 1),
         "per_stage_s": m["stages"],
         "ingest": m.get("ingest", {}),
+        "ingest_share_of_warm": round(ingest_s / totals["warm"], 3),
         "backends": m.get("backends", {}),
         "device_dispatch": m.get("device_dispatch", {}),
         "phased_calls": n_calls,
@@ -221,6 +231,13 @@ def main() -> int:
             result["e2e"] = bench_e2e(mb)
         except Exception as e:
             print(f"# e2e bench skipped: {e}", file=sys.stderr)
+        try:
+            # forced-device configuration: every stage's kernel on the chip
+            # (auto's measured size gates keep small inputs on host —
+            # docs/SCALING.md); dispatch counts in the block are actual
+            result["e2e_forced_device"] = bench_e2e(mb, device_stages="on")
+        except Exception as e:
+            print(f"# forced-device e2e skipped: {e}", file=sys.stderr)
     print(json.dumps(result))
     return 0
 

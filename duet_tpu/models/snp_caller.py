@@ -297,9 +297,11 @@ def call_snps_device(contig: str, obs, ref_codes: np.ndarray,
 
         dispatch.record("snp_pileup", "device")
         kpad = _pow2(max(kw, 1))
+        # uint8 bases/quals: 6 B/obs over the link instead of 12 — the
+        # forced device pileup is transfer-bound (docs/TPU_RUNS.md)
         pos_p = np.zeros(kpad, dtype=np.int32)
-        bases_p = np.full(kpad, 4, dtype=np.int32)  # base=4 sentinel never counts
-        quals_p = np.zeros(kpad, dtype=np.int32)
+        bases_p = np.full(kpad, 4, dtype=np.uint8)  # base=4 sentinel never counts
+        quals_p = np.zeros(kpad, dtype=np.uint8)
         pos_p[:kw] = positions[o0:o1] - lo
         bases_p[:kw] = bases[o0:o1]
         quals_p[:kw] = quals[o0:o1]

@@ -26,8 +26,11 @@ def pileup_counts(positions, bases, quals, length: int, min_base_qual):
     """(L, 4) int32 allele counts from flat observation arrays.
 
     Padding convention: base >= 4 (N) never counts, so pad slots with
-    base=4.  quals below min_base_qual are dropped (host parity)."""
-    keep = (bases < 4) & (quals >= min_base_qual)
+    base=4.  quals below min_base_qual are dropped (host parity).
+    bases/quals arrive uint8 (6 B/observation over the host->device link
+    instead of 12 — the transfer is what bounds the forced device pileup,
+    docs/TPU_RUNS.md); widening happens on device."""
+    keep = (bases < 4) & (quals.astype(jnp.int32) >= min_base_qual)
     key = jnp.where(keep, positions * 4 + bases.astype(jnp.int32), length * 4)
     flat = jnp.zeros(length * 4 + 1, jnp.int32).at[key].add(1)
     return flat[: length * 4].reshape(length, 4)

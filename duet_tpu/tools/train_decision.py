@@ -24,8 +24,15 @@ import numpy as np
 
 from duet_tpu.models.decision_model import FEATURE_NAMES, feature_matrix
 
-TRAIN = [(cov, seed) for cov in (8, 10, 12, 14, 20) for seed in (201, 202, 203)]
-HOLDOUT = [(cov, seed) for cov in (8, 10, 12, 14, 20) for seed in (301, 302)]
+# (coverage, seed, sub_error): the clean grid plus high-error cells —
+# noisy data is what generates FALSE candidate calls, i.e. class-0
+# training rows, without which the tree never learns to filter
+TRAIN = [(cov, seed, 0.02) for cov in (8, 10, 12, 14, 20)
+         for seed in (201, 202, 203)] + \
+        [(cov, seed, 0.06) for cov in (8, 12, 20) for seed in (211, 212)]
+HOLDOUT = [(cov, seed, 0.02) for cov in (8, 10, 12, 14, 20)
+           for seed in (301, 302)] + \
+          [(12, 311, 0.06), (8, 312, 0.06)]
 
 
 def collect_rows(data_dir: str, out_dir: str):
@@ -125,15 +132,16 @@ def main(argv=None) -> int:
     holdout = HOLDOUT[:2] if quick else HOLDOUT
     mb = 0.25 if quick else 0.5
 
-    def dataset(cov, seed):
+    def dataset(cov, seed, err=0.02):
         d = tempfile.mkdtemp(prefix=f"dtrain_{cov}_{seed}_")
         simulate_dataset(d, SimConfig(contigs={"chr21": int(mb * 1e6)},
-                                      seed=seed, coverage=float(cov)))
+                                      seed=seed, coverage=float(cov),
+                                      sub_error=err))
         return d
 
     Xs, ys = [], []
-    for cov, seed in train:
-        d = dataset(cov, seed)
+    for cov, seed, err in train:
+        d = dataset(cov, seed, err)
         with tempfile.TemporaryDirectory(prefix="dtrain_out_") as out:
             X, y = collect_rows(d, out)
         Xs.append(X)
@@ -149,9 +157,9 @@ def main(argv=None) -> int:
         json.dump(model, fh, indent=1)
 
     rows = []
-    for cov, seed in holdout:
-        d = dataset(cov, seed)
-        rows.append({"cov": cov, "seed": seed,
+    for cov, seed, err in holdout:
+        d = dataset(cov, seed, err)
+        rows.append({"cov": cov, "seed": seed, "err": err,
                      "verbatim": e2e_f1(d, "verbatim"),
                      "learned": e2e_f1(d, "learned")})
     print(json.dumps({
