@@ -28,12 +28,20 @@ def pileup_counts(positions, bases, quals, length: int, min_base_qual):
     Padding convention: base >= 4 (N) never counts, so pad slots with
     base=4.  quals below min_base_qual are dropped (host parity).
     bases/quals arrive uint8 (6 B/observation over the host->device link
-    instead of 12 — the transfer is what bounds the forced device pileup,
-    docs/TPU_RUNS.md); widening happens on device."""
+    instead of 12); widening happens on device.
+
+    Counting is SORT + SEARCHSORTED, not scatter-add: XLA lowers
+    `.at[].add` to a serialized scatter on TPU (~0.5 us/element — measured
+    to dominate the whole forced-device pileup, docs/SCALING.md), while
+    sort and batched binary search are parallel-friendly.  Dropped
+    observations key to the 4L sentinel, which sorts past every bin
+    boundary.  Bit-identical to the scatter formulation and to the host
+    bincount: integer counting has one answer."""
     keep = (bases < 4) & (quals.astype(jnp.int32) >= min_base_qual)
     key = jnp.where(keep, positions * 4 + bases.astype(jnp.int32), length * 4)
-    flat = jnp.zeros(length * 4 + 1, jnp.int32).at[key].add(1)
-    return flat[: length * 4].reshape(length, 4)
+    sk = jnp.sort(key)
+    bounds = jnp.searchsorted(sk, jnp.arange(length * 4 + 1, dtype=key.dtype))
+    return jnp.diff(bounds).astype(jnp.int32).reshape(length, 4)
 
 
 @partial(jax.jit, static_argnames=())

@@ -45,14 +45,31 @@ def _pow2(x: int, floor: int = 8) -> int:
 @partial(jax.jit, static_argnames=("sweeps", "n_reads", "n_sites"))
 def _refine(row, col, av, phase0, covered, sweeps: int, n_reads: int,
             n_sites: int):
-    """row/col padded with sentinel n_reads / n_sites (one junk segment)."""
+    """row/col padded with sentinel n_reads / n_sites (one junk segment).
+
+    Scatter-free: entries arrive COLUMN-sorted (the allele matrix's
+    natural order), one device sort by row yields the row-major
+    permutation, and both per-sweep reductions become int32 cumulative
+    sums differenced at searchsorted bounds (see _score for why scatter
+    is the wrong primitive on TPU and why int32 sums are exact here)."""
+    av32 = av.astype(jnp.int32)
+    idx = jnp.arange(row.shape[0], dtype=jnp.int32)
+    row_s, perm_r = jax.lax.sort((row, idx), num_keys=1)
+    col_s, perm_c = jax.lax.sort((col, idx), num_keys=1)
+    av_r, col_r = av32[perm_r], col[perm_r]
+    av_c, row_c = av32[perm_c], row[perm_c]
+    rb = jnp.searchsorted(row_s, jnp.arange(n_reads + 2, dtype=row.dtype))
+    cb = jnp.searchsorted(col_s, jnp.arange(n_sites + 2, dtype=col.dtype))
+
+    def range_sum(vals, b):
+        c = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(vals)])
+        return c[b[1:]] - c[b[:-1]]
 
     def sweep(phase, _):
-        s = jax.ops.segment_sum(av * phase[col], row,
-                                num_segments=n_reads + 1)
+        pi = phase.astype(jnp.int32)
+        s = range_sum(av_r * pi[col_r], rb)            # per-read signed score
         h = jnp.sign(s)
-        v = jax.ops.segment_sum(av * h[row], col,
-                                num_segments=n_sites + 1)[:n_sites]
+        v = range_sum(av_c * h[row_c], cb)[:n_sites]   # per-site votes
         new_phase = jnp.where(v > 0, 1.0, jnp.where(v < 0, -1.0, phase))
         return jnp.where(covered, new_phase, 0.0), None
 
@@ -96,28 +113,61 @@ PC_MAX = 8100
 @partial(jax.jit, static_argnames=("n_reads", "n_sites"))
 def _score(row, col, av, phase, block_id, n_reads: int, n_sites: int):
     """Sparse scoring over one contig's COO (padded; sentinel row/col index
-    the junk segment).  Returns per-read (hap, pc, best_block, overflow)."""
-    pv = phase[col]
-    signed = jax.ops.segment_sum(av * pv, row, num_segments=n_reads + 1)
+    the junk segment).  Returns per-read (hap, pc, best_block, overflow).
+
+    SORT-CENTRIC, scatter-free: XLA lowers segment_sum to a serialized
+    scatter on TPU (~0.5 us/element — measured to dominate the device
+    path, docs/SCALING.md), so every per-read reduction here is one
+    two-key lax.sort by (read, block) followed by int32 cumulative sums
+    differenced at searchsorted segment bounds — all parallel-friendly
+    primitives.  Arithmetic is EXACT: every product allele*quality*phase
+    is an integer with |.| <= 40, so int32 running sums are exact up to
+    ~53M observations per contig (far beyond any chromosome) and the
+    results match the float64 host scorer bit for bit."""
+    pv = phase[col]                       # int32 in {-1, 0, +1}
+    v = av * pv
     absav = jnp.abs(av)
-    total = jax.ops.segment_sum(absav * (pv != 0), row,
-                                num_segments=n_reads + 1)
+    inf = absav * (pv != 0)
     blk = block_id[col]
-    # per-read contiguous block range -> fixed-width relative slots
-    b_lo = jax.ops.segment_min(blk, row, num_segments=n_reads + 1)
-    slot = blk - b_lo[row]
-    overflow = jax.ops.segment_max(
-        slot, row, num_segments=n_reads + 1) >= SLOT_K
-    key = row * SLOT_K + jnp.clip(slot, 0, SLOT_K - 1)
-    blockw = jax.ops.segment_sum(
-        absav, key, num_segments=(n_reads + 1) * SLOT_K,
-    ).reshape(n_reads + 1, SLOT_K)
+    row_s, blk_s, v_s, inf_s, absav_s = jax.lax.sort(
+        (row, blk, v, inf, absav), num_keys=2)
+
+    # per-read ranges in the sorted order
+    rb = jnp.searchsorted(row_s, jnp.arange(n_reads + 2, dtype=row.dtype))
+    lo, hi = rb[:-1], rb[1:]
+    has = hi > lo
+    last = jnp.maximum(hi - 1, 0)
+    nnz_pad = row.shape[0]
+    safe_lo = jnp.minimum(lo, nnz_pad - 1)
+
+    def range_sum(vals):
+        c = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                             jnp.cumsum(vals.astype(jnp.int32))])
+        return c[hi] - c[lo]
+
+    signed = range_sum(v_s)
+    total = range_sum(inf_s)
+    # blocks are intervals of the site axis, so a read's candidate blocks
+    # are the contiguous [first, last] of its (block-sorted) entries
+    b_lo = blk_s[safe_lo]
+    b_hi = blk_s[last]
+    overflow = has & ((b_hi - b_lo) >= SLOT_K)
+
+    # per-(read, slot) weight sums: the (row, blk) sort makes
+    # row*SLOT_K + slot monotone, so one more cumsum + bounds suffices
+    slot = jnp.clip(blk_s - b_lo[row_s], 0, SLOT_K - 1)
+    key2 = row_s * SLOT_K + slot
+    c2 = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(absav_s.astype(jnp.int32))])
+    kb = jnp.searchsorted(
+        key2, jnp.arange((n_reads + 1) * SLOT_K + 1, dtype=key2.dtype))
+    blockw = (c2[kb[1:]] - c2[kb[:-1]]).reshape(n_reads + 1, SLOT_K)
     best_slot = jnp.argmax(blockw, axis=1)   # XLA: first max = earliest block
     best_block = b_lo + best_slot.astype(jnp.int32)
 
     tagged = (total > 0) & (signed != 0)
     hap = jnp.where(tagged, jnp.where(signed > 0, 1, 2), 0).astype(jnp.int32)
-    pc = jnp.clip(jnp.rint(PC_PER_MARGIN * jnp.abs(signed)), 1, PC_MAX)
+    pc = jnp.clip(PC_PER_MARGIN * jnp.abs(signed), 1, PC_MAX)
     pc = jnp.where(tagged, pc.astype(jnp.int32), -1)
     return hap, pc, best_block, overflow
 
@@ -138,11 +188,13 @@ def haplotag_score_sparse(am, phase: np.ndarray, block_id: np.ndarray):
     dispatch.record("haplotag", "device")
     row = np.full(nnz_pad, n_reads, dtype=np.int32)
     col = np.full(nnz_pad, n_sites, dtype=np.int32)
-    av = np.zeros(nnz_pad, dtype=np.float32)
+    av = np.zeros(nnz_pad, dtype=np.int32)
     row[:nnz] = am.row
     col[:nnz] = am.col
-    av[:nnz] = am.allele.astype(np.float32) * am.weight
-    phase_pad = np.zeros(n_sites + 1, dtype=np.float32)
+    # quality weights are integer-valued; int32 products keep every device
+    # sum exact (see _score)
+    av[:nnz] = am.allele.astype(np.int32) * am.weight.astype(np.int32)
+    phase_pad = np.zeros(n_sites + 1, dtype=np.int32)
     phase_pad[:am.n_sites] = phase
     blk_pad = np.zeros(n_sites + 1, dtype=np.int32)
     blk_pad[:am.n_sites] = block_id

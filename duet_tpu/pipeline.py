@@ -671,12 +671,27 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     bnd_evidence: dict = {}
     lengths: dict[str, int] = {}
     n_reads = 0
+    # per-stage attribution across the contig loop: cumulative seconds and
+    # the RSS high-water mark observed right after each stage (ru_maxrss is
+    # monotone, so the stage where a value first jumps is where the memory
+    # peak formed)
+    stage_s = {"ingest": 0.0, "snp_calling": 0.0, "sv_calling": 0.0,
+               "snp_phasing": 0.0}
+    stage_rss = dict.fromkeys(stage_s, 0.0)
+
+    def _mark(stage: str, t_start: float) -> None:
+        stage_s[stage] += time.perf_counter() - t_start
+        stage_rss[stage] = max(stage_rss[stage], _peak_rss_mb())
+
     stream, stream_backend = stream_contig_reads_auto(
         cfg.bam, n_threads=cfg.threads)
     log.info("streaming ingest backend: %s", stream_backend)
     with StageTimer("STREAMING CONTIG PASS"):
+        t_iter = time.perf_counter()
         for cr, contig_lengths in stream:
+            _mark("ingest", t_iter)  # generator time = decode time
             if cr.contig not in aliases:
+                t_iter = time.perf_counter()
                 continue
             if cr.contig in snps_all:
                 # one segment per contiguous run: a repeated contig key means
@@ -696,12 +711,17 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             codes = st.ref.fetch_codes(fa_name)
             from duet_tpu.models.snp_caller import call_contig_snps
 
+            t = time.perf_counter()
             snps, site_obs = call_contig_snps(cr.contig, cr, codes,
                                               cfg.snp_cfg())
             snps_all[cr.contig] = snps
+            _mark("snp_calling", t)
             # cross-contig breakend evidence survives the contig's release
+            t = time.perf_counter()
             calls_all[cr.contig], bnd_evidence[cr.contig] = \
                 call_contig_with_evidence(cr, cfg.sv_cfg(), mesh=st.mesh)
+            _mark("sv_calling", t)
+            t = time.perf_counter()
             result = phase_contig(cr, snps, cfg.snp_cfg(),
                                   use_device=cfg.use_device_kernel,
                                   obs=site_obs, mesh=st.mesh,
@@ -717,16 +737,21 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
                 os.path.join(ph_dir, f"{cr.contig}.haplotags.tsv"),
                 st.read_haps[cr.contig],
             )
+            _mark("snp_phasing", t)
             log.info("[STREAM] %s: %d reads, %d SNPs, %d SV candidates, "
                      "%d blocks", cr.contig, cr.n, len(snps.pos),
                      len(calls_all[cr.contig]), len(result.block_ps))
             st.ref.drop_cache(fa_name)
+            t_iter = time.perf_counter()
     write_pileup_vcf(os.path.join(snp_dir, "pileup.vcf.gz"), snps_all, lengths)
     write_sv_vcf(os.path.join(sv_dir, "variants.vcf"), calls_all, lengths,
                  family=cfg.sv_caller, bnds=call_bnds(bnd_evidence, cfg.sv_cfg()))
     st.snps = snps_all
     with StageTimer("SV PHASING"):
+        t = time.perf_counter()
         stage_sv_phasing(cfg, st)
+        stage_s["sv_phasing"] = time.perf_counter() - t
+        stage_rss["sv_phasing"] = _peak_rss_mb()
     total = round(time.time() - t0, 4)
     log.info("ALL STAGES COMPLETED IN %ss (streamed %d reads)", total, n_reads)
     # observability parity with run_pipeline (SURVEY.md §5.1 gap)
@@ -740,6 +765,9 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             "backends": {s: dispatch.backend_label(s, snap)
                          for s in dispatch.STAGES},
             "device_dispatch": snap,
+            "stages": {k: round(v, 4) for k, v in stage_s.items()},
+            "stage_peak_rss_mb": {k: round(v, 1)
+                                  for k, v in stage_rss.items()},
             "peak_rss_mb": _peak_rss_mb(),
             "counts": {
                 "reads": n_reads,
