@@ -88,8 +88,40 @@ def get_lib() -> ctypes.CDLL:
     lib.duet_pileup_sizes.restype = None
     lib.duet_pileup_fill.restype = None
     lib.duet_pileup_counts_only.restype = None
+    lib.duet_candidate_scan.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def candidate_scan_native(counts: np.ndarray, ref_codes: np.ndarray,
+                          min_depth: int, min_alt: int,
+                          n_threads: int | None = None):
+    """Single-pass threaded candidate-site scan over the (L, 4) count image
+    (the site-calling pre-filter) — numpy-identical outputs
+    (pos, alt_code, alt_count, depth), without the numpy path's
+    gigabyte-scale full-image temporaries at chromosome L."""
+    lib = get_lib()
+    L = len(ref_codes)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    ref = np.ascontiguousarray(ref_codes, dtype=np.uint8)
+    if counts.shape != (L, 4):
+        raise ValueError("counts must be (L, 4)")
+    if n_threads is None:
+        n_threads = max(os.cpu_count() or 1, 1)
+    cap = max(L // 4, 1 << 16)
+    pos = np.empty(cap, dtype=np.int64)
+    alt_code = np.empty(cap, dtype=np.int32)
+    alt_count = np.empty(cap, dtype=np.int32)
+    depth = np.empty(cap, dtype=np.int32)
+    n = lib.duet_candidate_scan(
+        _ptr(counts), _ptr(ref), ctypes.c_int64(L),
+        ctypes.c_int32(int(min_depth)), ctypes.c_int32(int(min_alt)),
+        ctypes.c_int64(cap), _ptr(pos), _ptr(alt_code), _ptr(alt_count),
+        _ptr(depth), ctypes.c_int32(n_threads))
+    if n < 0:
+        raise RuntimeError("candidate scan overflow: more than L/4 "
+                           "candidate sites (degenerate input)")
+    return pos[:n], alt_code[:n], alt_count[:n], depth[:n]
 
 
 def _ptr(arr: np.ndarray):
@@ -211,7 +243,11 @@ def stream_read_store_native(bam_path: str, min_mapq: int = 0,
                 break
             yield _fetch_contig(lib, h, ref_names[rid]), contig_lengths
     finally:
-        lib.duet_bam_close(ctypes.c_void_p(h))
+        # abandoned-generator cleanup can run at interpreter teardown, when
+        # the ctypes function attributes may already be torn down
+        close = getattr(lib, "duet_bam_close", None)
+        if close is not None:
+            close(ctypes.c_void_p(h))
 
 
 def bam_contig_lengths_native(bam_path: str) -> dict[str, int]:

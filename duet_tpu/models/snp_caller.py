@@ -157,29 +157,39 @@ def call_snps(contig: str, counts: np.ndarray, ref_codes: np.ndarray,
     Two-phase for chromosome-scale L: a cheap pre-filter on total non-ref
     evidence (a SUPERSET of the exact cuts: total non-ref >= the argmax
     allele's count) selects candidate rows, and the per-allele argmax work
-    runs only on those — no (L, 4)-sized temporaries beyond the pre-filter
-    reductions."""
-    ref_safe = np.minimum(ref_codes, 3).astype(np.int64)
-    depth_all = counts.sum(axis=1)
-    ref_count = np.take_along_axis(counts, ref_safe[:, None], axis=1)[:, 0]
-    nonref_total = depth_all - ref_count
-    cand = np.flatnonzero(
-        (depth_all >= cfg.min_depth)
-        & (nonref_total >= cfg.min_alt_reads)
-        & (ref_codes < 4)
-    )
-    sub = counts[cand].copy()
-    m = len(cand)
-    sub[np.arange(m), ref_safe[cand]] = -1
-    alt_code = sub.argmax(axis=1)
-    alt_count = counts[cand, alt_code]
-    depth = depth_all[cand]
+    runs only on those.  The pre-filter itself runs in the native C++
+    runtime when available (one threaded pass, no L-sized temporaries —
+    the numpy reductions below move gigabytes at chromosome L); the numpy
+    path is the fallback and the parity oracle."""
+    try:
+        from duet_tpu.io.native_ingest import candidate_scan_native
+
+        cand, alt_code, alt_count, depth = candidate_scan_native(
+            counts, ref_codes, cfg.min_depth, cfg.min_alt_reads)
+        ref_safe_c = np.minimum(ref_codes[cand], 3).astype(np.int64)
+    except Exception:
+        ref_safe = np.minimum(ref_codes, 3).astype(np.int64)
+        depth_all = counts.sum(axis=1)
+        ref_count = np.take_along_axis(counts, ref_safe[:, None], axis=1)[:, 0]
+        nonref_total = depth_all - ref_count
+        cand = np.flatnonzero(
+            (depth_all >= cfg.min_depth)
+            & (nonref_total >= cfg.min_alt_reads)
+            & (ref_codes < 4)
+        )
+        sub = counts[cand].copy()
+        m = len(cand)
+        sub[np.arange(m), ref_safe[cand]] = -1
+        alt_code = sub.argmax(axis=1)
+        alt_count = counts[cand, alt_code]
+        depth = depth_all[cand]
+        ref_safe_c = ref_safe[cand]
     af_num, af_den = _as_rational(cfg.min_af)
     hom_num, hom_den = _as_rational(cfg.hom_af)
     keep = (
         (alt_count * af_den >= depth * af_num)
         & (alt_count >= cfg.min_alt_reads)
-        & (alt_code != ref_safe[cand])
+        & (alt_code != ref_safe_c)
     )
     pos = cand[keep].astype(np.int64)
     alt_code = alt_code[keep]
@@ -210,14 +220,23 @@ def choose_snp_model(counts: np.ndarray, ref_codes: np.ndarray) -> str:
     """Pick counts/nn from the data itself: the (L,4) count image gives the
     observed substitution rate (non-reference observation fraction — true
     variants contribute ~0.1% at human densities, sequencing error 1-15%)
-    and the mean coverage, the two axes of the measured decision grid."""
-    total = int(counts.sum(dtype=np.int64))
+    and the mean coverage, the two axes of the measured decision grid.
+
+    Estimated on a deterministic row stride: the decision needs ~2
+    significant digits of a rate averaged over millions of positions, and
+    full-image reductions cost real time at chromosome L (the (L,4) image
+    is gigabytes)."""
+    L = len(ref_codes)
+    stride = max(L // 2_000_000, 1)
+    c = counts[::stride]
+    r = ref_codes[::stride]
+    total = int(c.sum(dtype=np.int64))
     if total == 0:
         return "counts"
-    ok = np.flatnonzero(ref_codes < 4)
-    ref_sum = int(counts[ok, ref_codes[ok]].sum(dtype=np.int64))
+    ok = np.flatnonzero(r < 4)
+    ref_sum = int(c[ok, r[ok]].sum(dtype=np.int64))
     err = 1.0 - ref_sum / total
-    cov = total / max(len(ref_codes), 1)
+    cov = total / max(len(r), 1)
     return "nn" if (err >= AUTO_NN_MIN_ERR and cov >= AUTO_NN_MIN_COV) \
         else "counts"
 

@@ -39,6 +39,7 @@
 // SUPPLEMENTARY segments are kept — they carry the split-read evidence
 // the SV caller needs.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -697,6 +698,69 @@ void duet_pileup_fill(int64_t n_reads, const int64_t* starts,
         ++counts[static_cast<int64_t>(out_pos[j]) * 4 + base];
     }
   }
+}
+
+
+// Candidate-site scan over the (L, 4) count image: the site-calling
+// pre-filter (models/snp_caller.call_snps) as ONE threaded pass with no
+// L-sized temporaries -- at chromosome L the numpy formulation's
+// full-image reductions (sum, take_along_axis, argmax) cost several
+// gigabytes of traffic each.  Semantics mirror numpy exactly: ref_safe =
+// min(ref, 3); candidate iff depth >= min_depth AND depth -
+// counts[ref_safe] >= min_alt AND ref < 4; alt_code = first-max argmax
+// with the reference allele excluded (value treated as -1).  Returns the
+// candidate count, or -1 when `cap` would overflow (caller falls back).
+int64_t duet_candidate_scan(const int32_t* counts, const uint8_t* ref_codes,
+                            int64_t L, int32_t min_depth, int32_t min_alt,
+                            int64_t cap, int64_t* out_pos,
+                            int32_t* out_alt_code, int32_t* out_alt_count,
+                            int32_t* out_depth, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 16) n_threads = 16;
+  struct Cand { int64_t pos; int32_t alt_code, alt_count, depth; };
+  std::vector<std::vector<Cand>> parts(n_threads);
+  auto work = [&](int t, int64_t lo, int64_t hi) {
+    auto& out = parts[t];
+    out.reserve(static_cast<size_t>((hi - lo) / 256 + 16));
+    for (int64_t p = lo; p < hi; ++p) {
+      uint8_t r = ref_codes[p];
+      if (r >= 4) continue;
+      const int32_t* c = counts + p * 4;
+      int32_t depth = c[0] + c[1] + c[2] + c[3];
+      if (depth < min_depth) continue;
+      if (depth - c[r] < min_alt) continue;
+      int32_t best = -1, best_b = 0;
+      for (int32_t b = 0; b < 4; ++b) {
+        int32_t v = (b == r) ? -1 : c[b];
+        if (v > best) { best = v; best_b = b; }
+      }
+      out.push_back({p, best_b, best, depth});
+    }
+  };
+  if (n_threads == 1 || L < 65536) {
+    work(0, 0, L);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t step = (L + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t lo = t * step, hi = std::min(L, lo + step);
+      if (lo < hi) pool.emplace_back(work, t, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (auto& v : parts) total += static_cast<int64_t>(v.size());
+  if (total > cap) return -1;
+  int64_t o = 0;
+  for (auto& v : parts)
+    for (auto& c : v) {
+      out_pos[o] = c.pos;
+      out_alt_code[o] = c.alt_code;
+      out_alt_count[o] = c.alt_count;
+      out_depth[o] = c.depth;
+      ++o;
+    }
+  return total;
 }
 
 }  // extern "C"

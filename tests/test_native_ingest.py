@@ -311,3 +311,36 @@ def test_past_end_read_raises_native(tmp_path):
         pileup_counts_native(cr, 0, 10, 500)
     with pytest.raises(ValueError, match="beyond contig length"):
         pileup_obs_native(cr, 0, 10, length=500)
+
+
+def test_candidate_scan_matches_numpy():
+    """The native single-pass candidate scan equals the numpy pre-filter
+    bit for bit: same candidates, first-max argmax with the reference
+    allele excluded, N-reference rows skipped."""
+    import numpy as np
+
+    from duet_tpu.io.native_ingest import candidate_scan_native
+
+    rng = np.random.default_rng(5)
+    L = 50_000
+    counts = rng.integers(0, 20, (L, 4)).astype(np.int32)
+    counts[rng.random(L) < 0.5] = 0          # sparse coverage
+    ref = rng.integers(0, 5, L).astype(np.uint8)  # incl. N (=4)
+    # engineered ties: two equal non-ref alleles -> first index wins
+    counts[100] = [7, 7, 7, 0]
+    ref[100] = 2
+    min_depth, min_alt = 4, 2
+    pos, alt_code, alt_count, depth = candidate_scan_native(
+        counts, ref, min_depth, min_alt)
+
+    ref_safe = np.minimum(ref, 3).astype(np.int64)
+    depth_all = counts.sum(axis=1)
+    ref_count = np.take_along_axis(counts, ref_safe[:, None], axis=1)[:, 0]
+    cand = np.flatnonzero((depth_all >= min_depth)
+                          & (depth_all - ref_count >= min_alt) & (ref < 4))
+    sub = counts[cand].copy()
+    sub[np.arange(len(cand)), ref_safe[cand]] = -1
+    np.testing.assert_array_equal(pos, cand)
+    np.testing.assert_array_equal(alt_code, sub.argmax(axis=1))
+    np.testing.assert_array_equal(alt_count, counts[cand, sub.argmax(axis=1)])
+    np.testing.assert_array_equal(depth, depth_all[cand])
