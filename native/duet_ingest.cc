@@ -64,20 +64,16 @@ inline bool consumes_ref(uint32_t op) {
 }
 
 struct Columns {
+  // per-read metadata + ragged OFFSETS only; the ragged payloads decode
+  // straight from the raw window into caller buffers (decode_columns)
   std::vector<int64_t> pos, end;
   std::vector<uint8_t> mapq;
   std::vector<uint16_t> flag;
   std::vector<int64_t> name_off, cigar_off, seq_off;
-  std::vector<uint8_t> name_bytes;
-  std::vector<int8_t> cigar_ops;
-  std::vector<int32_t> cigar_lens;
-  std::vector<uint8_t> seq_codes, quals;
 
   void clear() {
     pos.clear(); end.clear(); mapq.clear(); flag.clear();
     name_off.clear(); cigar_off.clear(); seq_off.clear();
-    name_bytes.clear(); cigar_ops.clear(); cigar_lens.clear();
-    seq_codes.clear(); quals.clear();
   }
 };
 
@@ -294,51 +290,62 @@ bool parse_header(Reader* rd) {
   return true;
 }
 
-// Parallel column fill of the current contig from rd->metas.
-void fill_columns(Reader* rd) {
+// Pass A over the current contig's records: per-read metadata (pos, end,
+// mapq, flag) + ragged offsets.  The BIG ragged payloads (names, cigars,
+// seq codes, quals) are NOT materialized here — duet_bam_fill decodes
+// them straight from the retained raw window into the caller's buffers,
+// so one contig's bytes exist once (raw) + once (caller), never a third
+// time in an intermediate Columns copy (at a 200 Mb contig that copy was
+// ~3.5 GB plus vector-growth slack).
+void size_columns(Reader* rd) {
   const size_t n = rd->metas.size();
   auto& c = rd->cols;
   c.clear();
   rd->n_reads = static_cast<int64_t>(n);
   c.pos.resize(n); c.end.resize(n); c.mapq.resize(n); c.flag.resize(n);
   c.name_off.resize(n + 1); c.cigar_off.resize(n + 1); c.seq_off.resize(n + 1);
-
-  // pass A: per-record sizes -> exclusive scans
-  std::vector<int64_t> name_len(n), cig_len(n), seq_len(n);
+  c.name_off[0] = c.cigar_off[0] = c.seq_off[0] = 0;
   const uint8_t* base = rd->raw.data();
   for (size_t i = 0; i < n; ++i) {
     const uint8_t* r = base + rd->metas[i] + 4;
-    name_len[i] = r[8] - 1;  // drop the trailing NUL
-    uint16_t n_cigar;
+    int32_t pos;
+    std::memcpy(&pos, r + 4, 4);
+    uint16_t n_cigar, flag;
     std::memcpy(&n_cigar, r + 12, 2);
-    cig_len[i] = n_cigar;
+    std::memcpy(&flag, r + 14, 2);
     int32_t l_seq;
     std::memcpy(&l_seq, r + 16, 4);
-    seq_len[i] = l_seq;
+    c.pos[i] = pos;
+    c.mapq[i] = r[9];
+    c.flag[i] = flag;
+    c.name_off[i + 1] = c.name_off[i] + (r[8] - 1);
+    c.cigar_off[i + 1] = c.cigar_off[i] + n_cigar;
+    c.seq_off[i + 1] = c.seq_off[i] + l_seq;
+    const uint8_t* cig_p = r + 32 + r[8];
+    int64_t ref_span = 0;
+    for (uint16_t k = 0; k < n_cigar; ++k) {
+      uint32_t v;
+      std::memcpy(&v, cig_p + 4ull * k, 4);
+      if (consumes_ref(v & 0xF)) ref_span += (v >> 4);
+    }
+    c.end[i] = pos + (ref_span ? ref_span : 1);
   }
-  c.name_off[0] = c.cigar_off[0] = c.seq_off[0] = 0;
-  for (size_t i = 0; i < n; ++i) {
-    c.name_off[i + 1] = c.name_off[i] + name_len[i];
-    c.cigar_off[i + 1] = c.cigar_off[i] + cig_len[i];
-    c.seq_off[i + 1] = c.seq_off[i] + seq_len[i];
-  }
-  c.name_bytes.resize(static_cast<size_t>(c.name_off[n]));
-  c.cigar_ops.resize(static_cast<size_t>(c.cigar_off[n]));
-  c.cigar_lens.resize(static_cast<size_t>(c.cigar_off[n]));
-  c.seq_codes.resize(static_cast<size_t>(c.seq_off[n]));
-  c.quals.resize(static_cast<size_t>(c.seq_off[n]));
+}
 
-  // pass B: parallel decode into the final arrays
+// Pass B: parallel decode of the ragged payloads from the retained raw
+// window directly into caller-provided buffers (see size_columns).
+void decode_columns(Reader* rd, uint8_t* name_bytes, int8_t* cigar_ops,
+                    int32_t* cigar_lens, uint8_t* seq_codes, uint8_t* quals) {
+  const size_t n = rd->metas.size();
+  auto& c = rd->cols;
+  const uint8_t* base = rd->raw.data();
   int nt = rd->n_threads < 1 ? 1 : rd->n_threads;
   if (static_cast<size_t>(nt) > n) nt = n ? static_cast<int>(n) : 1;
   auto work = [&](size_t lo, size_t hi) {
     for (size_t i = lo; i < hi; ++i) {
       const uint8_t* r = base + rd->metas[i] + 4;
-      int32_t pos;
-      std::memcpy(&pos, r + 4, 4);
-      uint16_t n_cigar, flag;
+      uint16_t n_cigar;
       std::memcpy(&n_cigar, r + 12, 2);
-      std::memcpy(&flag, r + 14, 2);
       int32_t l_seq;
       std::memcpy(&l_seq, r + 16, 4);
       uint8_t l_read_name = r[8];
@@ -346,25 +353,17 @@ void fill_columns(Reader* rd) {
       const uint8_t* cig_p = name_p + l_read_name;
       const uint8_t* seq_p = cig_p + 4ull * n_cigar;
       const uint8_t* qual_p = seq_p + (l_seq + 1) / 2;
-
-      c.pos[i] = pos;
-      c.mapq[i] = r[9];
-      c.flag[i] = flag;
-      std::memcpy(c.name_bytes.data() + c.name_off[i], name_p,
-                  static_cast<size_t>(name_len[i]));
-      int64_t ref_span = 0;
-      int8_t* ops_out = c.cigar_ops.data() + c.cigar_off[i];
-      int32_t* lens_out = c.cigar_lens.data() + c.cigar_off[i];
+      std::memcpy(name_bytes + c.name_off[i], name_p,
+                  static_cast<size_t>(l_read_name - 1));
+      int8_t* ops_out = cigar_ops + c.cigar_off[i];
+      int32_t* lens_out = cigar_lens + c.cigar_off[i];
       for (uint16_t k = 0; k < n_cigar; ++k) {
         uint32_t v;
         std::memcpy(&v, cig_p + 4ull * k, 4);
-        uint32_t op = v & 0xF, len = v >> 4;
-        ops_out[k] = static_cast<int8_t>(op);
-        lens_out[k] = static_cast<int32_t>(len);
-        if (consumes_ref(op)) ref_span += len;
+        ops_out[k] = static_cast<int8_t>(v & 0xF);
+        lens_out[k] = static_cast<int32_t>(v >> 4);
       }
-      c.end[i] = pos + (ref_span ? ref_span : 1);
-      uint8_t* out = c.seq_codes.data() + c.seq_off[i];
+      uint8_t* out = seq_codes + c.seq_off[i];
       int32_t half = l_seq / 2;
       for (int32_t k = 0; k < half; ++k) {
         uint8_t b = seq_p[k];
@@ -372,7 +371,7 @@ void fill_columns(Reader* rd) {
         out[2 * k + 1] = kNibCode[b & 0xF];
       }
       if (l_seq & 1) out[l_seq - 1] = kNibCode[seq_p[half] >> 4];
-      std::memcpy(c.quals.data() + c.seq_off[i], qual_p,
+      std::memcpy(quals + c.seq_off[i], qual_p,
                   static_cast<size_t>(l_seq));
     }
   };
@@ -500,7 +499,7 @@ int32_t duet_bam_next_contig(void* h) {
         rd->retain = rd->scan_pos;
       } else if (ref_id != rd->cur_ref) {
         // contig boundary: leave this record for the next call
-        fill_columns(rd);
+        size_columns(rd);
         return rd->cur_ref;
       }
       rd->metas.push_back(rd->scan_pos);
@@ -510,7 +509,7 @@ int32_t duet_bam_next_contig(void* h) {
   }
   rd->done = true;
   if (rd->cur_ref != -2) {
-    fill_columns(rd);
+    size_columns(rd);
     return rd->cur_ref;
   }
   return -1;
@@ -523,19 +522,22 @@ int64_t duet_bam_n_reads(void* h) {
 // sizes of the current contig's ragged arrays: [name_bytes, cigar, seq]
 void duet_bam_ragged_sizes(void* h, int64_t* out3) {
   auto& c = static_cast<Reader*>(h)->cols;
-  out3[0] = static_cast<int64_t>(c.name_bytes.size());
-  out3[1] = static_cast<int64_t>(c.cigar_ops.size());
-  out3[2] = static_cast<int64_t>(c.seq_codes.size());
+  int64_t n = static_cast<Reader*>(h)->n_reads;
+  out3[0] = n ? c.name_off[n] : 0;
+  out3[1] = n ? c.cigar_off[n] : 0;
+  out3[2] = n ? c.seq_off[n] : 0;
 }
 
-// copy the current contig's columns into caller-allocated buffers
+// materialize the current contig's columns into caller-allocated buffers
+// (metadata memcpy + pass-B ragged decode straight from the raw window)
 void duet_bam_fill(void* h,
                    int64_t* pos, int64_t* end,
                    uint8_t* mapq, uint16_t* flag,
                    int64_t* name_off, uint8_t* name_bytes,
                    int64_t* cigar_off, int8_t* cigar_ops, int32_t* cigar_lens,
                    int64_t* seq_off, uint8_t* seq_codes, uint8_t* quals) {
-  auto& c = static_cast<Reader*>(h)->cols;
+  auto* rd = static_cast<Reader*>(h);
+  auto& c = rd->cols;
   auto cp = [](auto& vec, auto* dst) {
     if (!vec.empty()) std::memcpy(dst, vec.data(), vec.size() * sizeof(vec[0]));
   };
@@ -544,13 +546,9 @@ void duet_bam_fill(void* h,
   cp(c.mapq, mapq);
   cp(c.flag, flag);
   cp(c.name_off, name_off);
-  cp(c.name_bytes, name_bytes);
   cp(c.cigar_off, cigar_off);
-  cp(c.cigar_ops, cigar_ops);
-  cp(c.cigar_lens, cigar_lens);
   cp(c.seq_off, seq_off);
-  cp(c.seq_codes, seq_codes);
-  cp(c.quals, quals);
+  decode_columns(rd, name_bytes, cigar_ops, cigar_lens, seq_codes, quals);
 }
 
 void duet_bam_close(void* h) { delete static_cast<Reader*>(h); }
