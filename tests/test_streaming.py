@@ -70,3 +70,21 @@ def test_stream_rejects_unsorted_bam(tmp_path):
                          use_device_kernel=False, include_all_ctgs=True)
     with pytest.raises(ValueError, match="coordinate-sorted"):
         run_pipeline_streaming(cfg)
+
+
+def test_streaming_metrics_stage_attribution(tmp_path, sim_dataset):
+    """Streaming metrics.json carries per-stage cumulative seconds and RSS
+    high-water marks (observability parity with batch mode)."""
+    import json
+
+    out, _, _ = sim_dataset
+    run_pipeline_streaming(PipelineConfig(
+        bam=f"{out}/reads.bam", reference=f"{out}/ref.fa",
+        output=str(tmp_path / "m"), use_device_kernel=False))
+    m = json.load(open(tmp_path / "m" / "metrics.json"))
+    for key in ("ingest", "snp_calling", "sv_calling", "snp_phasing",
+                "sv_phasing"):
+        assert key in m["stages"], key
+        assert m["stages"][key] >= 0
+        assert m["stage_peak_rss_mb"][key] > 0
+    assert m["mode"] == "streaming"
