@@ -510,6 +510,10 @@ def _haplotag_sparse_device(am: AlleleMatrix, phase: np.ndarray,
     read_pc = np.full(n, -1, dtype=np.int32)
     if am.n_sites == 0 or len(am.row) == 0 or len(block_ps) == 0:
         return read_hap, read_ps, read_pc
+    if len(am.row) > 40_000_000:
+        # int32 running sums in the kernel are exact to ~53M entries
+        # (|product| <= 40); beyond that keep the float64 host path
+        return _haplotag(am, phase, block_id, block_ps)
     hap, pc, best, overflow = haplotag_score_sparse(am, phase, block_id)
     tagged = (hap != 0) & ~overflow
     read_hap[tagged] = hap[tagged]
