@@ -47,7 +47,7 @@
 #include <thread>
 #include <vector>
 
-#include <zlib.h>
+#include <libdeflate.h>
 
 namespace {
 
@@ -119,19 +119,15 @@ struct Reader {
   ~Reader() { if (f) std::fclose(f); }
 };
 
-bool inflate_block(const uint8_t* src, size_t src_size, uint8_t* dst,
-                   size_t dst_size) {
+// libdeflate: ~2-3x faster than zlib's inflate for BGZF members (gzip
+// wrapper handled natively); `d` is a per-thread reusable decompressor.
+bool inflate_block(libdeflate_decompressor* d, const uint8_t* src,
+                   size_t src_size, uint8_t* dst, size_t dst_size) {
   if (dst_size == 0) return true;
-  z_stream s;
-  std::memset(&s, 0, sizeof(s));
-  if (inflateInit2(&s, 15 + 16) != Z_OK) return false;  // gzip wrapper
-  s.next_in = const_cast<uint8_t*>(src);
-  s.avail_in = static_cast<uInt>(src_size);
-  s.next_out = dst;
-  s.avail_out = static_cast<uInt>(dst_size);
-  int rc = inflate(&s, Z_FINISH);
-  inflateEnd(&s);
-  return rc == Z_STREAM_END && s.total_out == dst_size;
+  size_t actual = 0;
+  auto rc = libdeflate_gzip_decompress(d, src, src_size, dst, dst_size,
+                                       &actual);
+  return rc == LIBDEFLATE_SUCCESS && actual == dst_size;
 }
 
 // One complete BGZF member at comp[off..]: returns BSIZE via *bsize and
@@ -211,14 +207,17 @@ bool refill(Reader* rd) {
       std::vector<std::thread> pool;
       for (int t = 0; t < nt; ++t) {
         pool.emplace_back([&, t]() {
+          libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+          if (!d) { ok[t] = 0; return; }
           for (size_t i = t; i < members.size(); i += nt) {
             const auto& m = members[i];
-            if (!inflate_block(rd->comp.data() + m.in_off, m.in_size,
+            if (!inflate_block(d, rd->comp.data() + m.in_off, m.in_size,
                                rd->raw.data() + m.out_off, m.out_size)) {
               ok[t] = 0;
-              return;
+              break;
             }
           }
+          libdeflate_free_decompressor(d);
         });
       }
       for (auto& th : pool) th.join();
