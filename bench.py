@@ -135,6 +135,16 @@ def bench_e2e(megabases: float, device_stages: str = "auto") -> dict:
     from duet_tpu.pipeline import PipelineConfig, run_pipeline
     from duet_tpu.sim import SimConfig, simulate_dataset
 
+    # host->device bandwidth probe: the tunneled chip's throughput varies
+    # >20x between runs (CLAUDE.md), so every e2e block records the
+    # weather it ran under — a forced-device number is only interpretable
+    # next to this
+    probe = np.random.default_rng(0).standard_normal(
+        8 * 1024 * 1024).astype(np.float32)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(probe))
+    probe_mb_s = round(probe.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+
     n_contigs = max(int(round(megabases)), 1)
     contigs = {f"chr{i + 1}": 1_000_000 for i in range(n_contigs)}
     with tempfile.TemporaryDirectory() as tmp:
@@ -182,6 +192,7 @@ def bench_e2e(megabases: float, device_stages: str = "auto") -> dict:
     result = {
         "backend": jax.default_backend(),
         "device_stages": device_stages,
+        "tunnel_probe_mb_s": probe_mb_s,
         "megabases": n_contigs,
         "reads": m["counts"]["reads"],
         "sim_s": round(sim_s, 2),
