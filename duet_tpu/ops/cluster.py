@@ -125,11 +125,20 @@ def _break_flags(p_prev, l_prev, v_prev, p_next, l_next, v_next,
 def _segment_stats(p, l, r, v, seg):
     """Per-cluster statistics from globally sorted signatures + segment ids:
     the segment-reduction core shared by the single-device and mesh-sharded
-    paths (identical ops -> identical results)."""
+    paths (identical ops -> identical results).
+
+    `seg` is NON-DECREASING (a cumsum of break flags over position-sorted
+    signatures), so every per-cluster reduction is a searchsorted bin
+    bound + cumsum difference — scatter-free (XLA lowers segment_sum to a
+    serialized TPU scatter, ~0.5 us/element; see CLAUDE.md)."""
     k = p.shape[0]
-    ones = v.astype(jnp.int32)
-    count = jax.ops.segment_sum(ones, seg, num_segments=k)
-    start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(count)[:-1]])
+    bounds = jnp.searchsorted(seg, jnp.arange(k + 1, dtype=seg.dtype))
+    # padded slots carry v=0: count real members only, but member RANGES
+    # come from the bounds (padding sorts into its own trailing segments)
+    ones_cs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(v.astype(jnp.int32))])
+    count = ones_cs[bounds[1:]] - ones_cs[bounds[:-1]]
+    start = bounds[:-1]
     med = jnp.clip(start + (count - 1) // 2, 0, k - 1)
     call_pos = p[med]
 
@@ -138,13 +147,15 @@ def _segment_stats(p, l, r, v, seg):
     call_len = l_sorted[med]
 
     rorder = jnp.lexsort((r, seg))
-    rs = seg[rorder]
-    rr = r[rorder]
+    rs = seg[rorder]          # == seg: the lexsort's primary key is already
+    rr = r[rorder]            # sorted, so segment ranges (bounds) transfer
     rv = v[rorder]
     firsts = jnp.ones(k, dtype=bool)
     firsts = firsts.at[1:].set((rs[1:] != rs[:-1]) | (rr[1:] != rr[:-1]))
-    support = jax.ops.segment_sum((firsts & rv).astype(jnp.int32), rs,
-                                  num_segments=k)
+    sup_cs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum((firsts & rv).astype(jnp.int32))])
+    support = sup_cs[bounds[1:]] - sup_cs[bounds[:-1]]
 
     is_real_seg = count > 0
     return {
