@@ -50,12 +50,20 @@ def feature_matrix(f, regime: np.ndarray) -> np.ndarray:
     ], axis=1)
 
 
+_MODEL_CACHE: dict[str, dict] = {}
+
+
 def load_model(path: str | None = None) -> dict:
-    with open(path or _MODEL_PATH) as fh:
-        model = json.load(fh)
-    if model.get("features") != list(FEATURE_NAMES):
-        raise ValueError("decision model feature contract mismatch")
-    return model
+    """Parse + validate the tree JSON once per path (the decision stage
+    calls this per chromosome)."""
+    key = path or _MODEL_PATH
+    if key not in _MODEL_CACHE:
+        with open(key) as fh:
+            model = json.load(fh)
+        if model.get("features") != list(FEATURE_NAMES):
+            raise ValueError("decision model feature contract mismatch")
+        _MODEL_CACHE[key] = model
+    return _MODEL_CACHE[key]
 
 
 def _eval_tree(node: dict, X: np.ndarray, out: np.ndarray,

@@ -230,13 +230,17 @@ def choose_snp_model(counts: np.ndarray, ref_codes: np.ndarray) -> str:
     stride = max(L // 2_000_000, 1)
     c = counts[::stride]
     r = ref_codes[::stride]
-    total = int(c.sum(dtype=np.int64))
+    # restrict BOTH sums to ACGT-reference rows: coverage over N gaps /
+    # padded stretches has no defined substitution rate, and counting it
+    # only in the denominator would inflate `err` (both callers skip
+    # ref>=4 sites too)
+    ok = np.flatnonzero(r < 4)
+    total = int(c[ok].sum(dtype=np.int64))
     if total == 0:
         return "counts"
-    ok = np.flatnonzero(r < 4)
     ref_sum = int(c[ok, r[ok]].sum(dtype=np.int64))
     err = 1.0 - ref_sum / total
-    cov = total / max(len(r), 1)
+    cov = total / max(len(ok), 1)
     return "nn" if (err >= AUTO_NN_MIN_ERR and cov >= AUTO_NN_MIN_COV) \
         else "counts"
 

@@ -247,27 +247,40 @@ def _block_obs_groups(am: AlleleMatrix, block_id: np.ndarray):
         yield int(b), cols_b, rows, lj, base_v, start_idx, seg
 
 
-def _boundary_E(phase, cols_b, rows, lj, base_v, start_idx, seg):
-    """E_j = sum over reads of L_r(j)*R_r(j) for every boundary of one
-    block under the given phase, via an O(nnz) event-driven prefix scan;
-    E[j-1] is the evidence for the boundary before local site j."""
-    m = len(cols_b)
+def _spanning_products(phase, cols_b, rows, lj, base_v, start_idx, seg):
+    """Shared event-scan core of _boundary_E/_boundary_stats: for every
+    entry k that has a successor in the same read (so the read spans the
+    boundaries (lj_k, lj_{k+1}]), the read's signed left/right partial
+    sums around that gap, via one O(nnz) prefix scan.  Returns (k, L, R)."""
     v = base_v * phase[cols_b[lj]]
     cum = np.cumsum(v)
     seg_offset = np.concatenate([[0.0], cum[start_idx[1:] - 1]]) \
         if len(start_idx) > 1 else np.zeros(1)
     P = cum - seg_offset[seg]          # prefix INCLUDING current entry
     S = np.add.reduceat(v, start_idx)  # per-read total
-    # entries k with a successor in the same read span boundaries
-    # (lj_k, lj_{k+1}]; contribution P_k * (S - P_k) on that range
     has_next = np.zeros(len(rows), dtype=bool)
     has_next[:-1] = rows[1:] == rows[:-1]
     k = np.flatnonzero(has_next)
-    val = P[k] * (S[seg[k]] - P[k])
-    D = np.zeros(m + 1)
-    np.add.at(D, lj[k] + 1, val)
-    np.add.at(D, lj[k + 1] + 1, -val)
-    return np.cumsum(D)[1:m]
+    return k, P[k], S[seg[k]] - P[k]
+
+
+def _accumulate_boundaries(m, lj, k, vals):
+    """Range-add each vals row over its spanning boundaries (lj_k, lj_{k+1}]
+    (difference array + cumsum); one output row per input row, length m-1."""
+    out = np.zeros((len(vals), m + 1))
+    for row, val in enumerate(vals):
+        np.add.at(out[row], lj[k] + 1, val)
+        np.add.at(out[row], lj[k + 1] + 1, -val)
+    return np.cumsum(out, axis=1)[:, 1:m]
+
+
+def _boundary_E(phase, cols_b, rows, lj, base_v, start_idx, seg):
+    """E_j = sum over reads of L_r(j)*R_r(j) for every boundary of one
+    block under the given phase; E[j-1] is the evidence for the boundary
+    before local site j."""
+    k, left, right = _spanning_products(phase, cols_b, rows, lj, base_v,
+                                        start_idx, seg)
+    return _accumulate_boundaries(len(cols_b), lj, k, [left * right])[0]
 
 
 def _switch_correct(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
@@ -306,26 +319,13 @@ def _boundary_stats(phase, cols_b, rows, lj, base_v, start_idx, seg):
       N_j = #{r spanning j}      spanning read count
 
     E/M in [-1, 1] is a coverage-free agreement ratio; M/N is the typical
-    per-read product scale.  Same O(nnz) event-driven scan as _boundary_E."""
-    m = len(cols_b)
-    v = base_v * phase[cols_b[lj]]
-    cum = np.cumsum(v)
-    seg_offset = np.concatenate([[0.0], cum[start_idx[1:] - 1]]) \
-        if len(start_idx) > 1 else np.zeros(1)
-    P = cum - seg_offset[seg]
-    S = np.add.reduceat(v, start_idx)
-    has_next = np.zeros(len(rows), dtype=bool)
-    has_next[:-1] = rows[1:] == rows[:-1]
-    k = np.flatnonzero(has_next)
-    left = P[k]
-    right = S[seg[k]] - P[k]
-    out = np.zeros((3, m + 1))
-    for row, val in ((0, left * right), (1, np.abs(left) * np.abs(right)),
-                     (2, np.ones(len(k)))):
-        np.add.at(out[row], lj[k] + 1, val)
-        np.add.at(out[row], lj[k + 1] + 1, -val)
-    c = np.cumsum(out, axis=1)[:, 1:m]
-    return c[0], c[1], c[2]
+    per-read product scale.  Same event-scan core as _boundary_E."""
+    k, left, right = _spanning_products(phase, cols_b, rows, lj, base_v,
+                                        start_idx, seg)
+    E, M, N = _accumulate_boundaries(
+        len(cols_b), lj, k,
+        [left * right, np.abs(left) * np.abs(right), np.ones(len(k))])
+    return E, M, N
 
 
 def _junction_evidence(am: AlleleMatrix, phase: np.ndarray,
@@ -502,7 +502,8 @@ def _haplotag_sparse_device(am: AlleleMatrix, phase: np.ndarray,
     """Whole-contig device scoring over the COO (ops.sparse_power); reads
     spanning more than SLOT_K phase-set blocks fall back to the host path.
     Bit-identical to _haplotag (integer-exact f32 segment sums)."""
-    from duet_tpu.ops.sparse_power import haplotag_score_sparse
+    from duet_tpu.ops.sparse_power import (INT32_EXACT_NNZ,
+                                           haplotag_score_sparse)
 
     n = am.n_reads
     read_hap = np.zeros(n, dtype=np.int8)
@@ -510,7 +511,7 @@ def _haplotag_sparse_device(am: AlleleMatrix, phase: np.ndarray,
     read_pc = np.full(n, -1, dtype=np.int32)
     if am.n_sites == 0 or len(am.row) == 0 or len(block_ps) == 0:
         return read_hap, read_ps, read_pc
-    if len(am.row) > 40_000_000:
+    if len(am.row) > INT32_EXACT_NNZ:
         # int32 running sums in the kernel are exact to ~53M entries
         # (|product| <= 40); beyond that keep the float64 host path
         return _haplotag(am, phase, block_id, block_ps)
@@ -603,7 +604,45 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
     obs_order = np.argsort(w_of_obs, kind="stable")
     w_sorted = w_of_obs[obs_order]
     host_rows: list[np.ndarray] = []  # windows routed to the host fallback
-    tasks: list[tuple] = []  # (rows_chunk, A, Wt, rhs, present)
+    tasks: list[tuple] = []  # pending (rows_chunk, A, Wt, rhs, present)
+
+    def flush_tasks() -> None:
+        """Dispatch the pending chunks as ONE padded batched kernel call,
+        then release their dense matrices.  Windows are built and flushed
+        incrementally so at most `batch` chunks (plus the window being
+        built) are ever resident — materializing a whole contig's dense
+        windows before dispatching would cost GBs at ~1M reads."""
+        import ml_dtypes
+
+        from duet_tpu.ops.haplotag import phase_and_tag_batch
+
+        if use_pallas:
+            from duet_tpu.ops.pallas_haplotag import haplotag_score_batch_pallas
+        T = batch
+        A_b = np.zeros((T * chunk, S_w), dtype=np.int8)
+        W_b = np.zeros((T * chunk, S_w), dtype=ml_dtypes.bfloat16)
+        rhs_b = np.zeros((T * S_w, 2 + HAPLOTAG_B), dtype=ml_dtypes.bfloat16)
+        for k, (_, A_c, W_c, rhs, _) in enumerate(tasks):
+            A_b[k * chunk:(k + 1) * chunk] = A_c
+            W_b[k * chunk:(k + 1) * chunk] = W_c
+            rhs_b[k * S_w:(k + 1) * S_w] = rhs
+        dispatch.record("haplotag", "device")
+        if use_pallas:
+            packed = np.asarray(haplotag_score_batch_pallas(
+                A_b, W_b, rhs_b, n_tasks=T, n_blocks=HAPLOTAG_B))
+            hap_all, pc_all, best_all = packed[:, 0], packed[:, 1], packed[:, 2]
+        else:
+            hap_d, pc_d, best_d = phase_and_tag_batch(
+                A_b, W_b, rhs_b, n_tasks=T, n_blocks=HAPLOTAG_B)
+            hap_all = np.asarray(hap_d)
+            pc_all = np.asarray(pc_d)
+            best_all = np.asarray(best_d)
+        for k, (rows_c, _, _, _, present_c) in enumerate(tasks):
+            s = slice(k * chunk, k * chunk + len(rows_c))
+            _scatter_tagged(read_hap, read_pc, read_ps, block_ps, present_c,
+                            rows_c, hap_all[s], pc_all[s], best_all[s])
+        tasks.clear()
+
     for w in range(0, (m + window - 1) // window):
         rows = np.flatnonzero((w_of_read == w) & span_ok)
         if len(rows) == 0:
@@ -660,42 +699,11 @@ def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
                 c1 = min(c0 + chunk, len(rows))
                 tasks.append((rows[c0:c1], A[c0:c0 + chunk],
                               Wt[c0:c0 + chunk], rhs, present))
+                if len(tasks) == batch:
+                    flush_tasks()
 
     if tasks:
-        import ml_dtypes
-
-        from duet_tpu.ops.haplotag import phase_and_tag_batch
-
-        if use_pallas:
-            from duet_tpu.ops.pallas_haplotag import haplotag_score_batch_pallas
-        T = batch
-        for t0 in range(0, len(tasks), T):
-            group = tasks[t0:t0 + T]
-            A_b = np.zeros((T * chunk, S_w), dtype=np.int8)
-            W_b = np.zeros((T * chunk, S_w), dtype=ml_dtypes.bfloat16)
-            rhs_b = np.zeros((T * S_w, 2 + HAPLOTAG_B),
-                             dtype=ml_dtypes.bfloat16)
-            for k, (_, A_c, W_c, rhs, _) in enumerate(group):
-                A_b[k * chunk:(k + 1) * chunk] = A_c
-                W_b[k * chunk:(k + 1) * chunk] = W_c
-                rhs_b[k * S_w:(k + 1) * S_w] = rhs
-            dispatch.record("haplotag", "device")
-            if use_pallas:
-                packed = np.asarray(haplotag_score_batch_pallas(
-                    A_b, W_b, rhs_b, n_tasks=T, n_blocks=HAPLOTAG_B))
-                hap_all = packed[:, 0]
-                pc_all = packed[:, 1]
-                best_all = packed[:, 2]
-            else:
-                hap_d, pc_d, best_d = phase_and_tag_batch(
-                    A_b, W_b, rhs_b, n_tasks=T, n_blocks=HAPLOTAG_B)
-                hap_all = np.asarray(hap_d)
-                pc_all = np.asarray(pc_d)
-                best_all = np.asarray(best_d)
-            for k, (rows_c, _, _, _, present) in enumerate(group):
-                s = slice(k * chunk, k * chunk + len(rows_c))
-                _scatter_tagged(read_hap, read_pc, read_ps, block_ps, present,
-                                rows_c, hap_all[s], pc_all[s], best_all[s])
+        flush_tasks()
 
     # host fallback for over-spanning reads and over-full windows
     wide = np.flatnonzero(has_obs & ~span_ok)
@@ -739,7 +747,14 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
         use_device = False
     phase, block_id, block_ps = _initial_phase(am)
     if use_device:
+        from duet_tpu.ops.sparse_power import INT32_EXACT_NNZ
         from duet_tpu.ops.sparse_power import power_refine_device as refine
+
+        if len(am.row) > INT32_EXACT_NNZ:
+            # the device refine's global int32 cumsums wrap past ~53M
+            # entries; keep the float64 host iteration (same guard the
+            # sparse scorer applies in _haplotag_sparse_device)
+            refine = _power_refine
     else:
         refine = _power_refine
     # alternate majority refinement and suffix-flip correction to a fixed

@@ -108,6 +108,10 @@ def power_refine_device(am, phase: np.ndarray, block_id: np.ndarray,
 SLOT_K = 8       # per-read relative block slots (reads spanning more fall back)
 PC_PER_MARGIN = 10
 PC_MAX = 8100
+# int32 running sums over |allele*quality| <= 40 entries stay exact up to
+# ~53M observations; callers route larger contigs to the float64 host twins
+# (both the scorer and the refine use global int32 cumsums)
+INT32_EXACT_NNZ = 40_000_000
 
 
 @partial(jax.jit, static_argnames=("n_reads", "n_sites"))
@@ -120,7 +124,10 @@ def _score(row, col, av, phase, block_id, n_reads: int, n_sites: int):
     path, docs/SCALING.md), so every per-read reduction here is one
     two-key lax.sort by (read, block) followed by int32 cumulative sums
     differenced at searchsorted segment bounds — all parallel-friendly
-    primitives.  Arithmetic is EXACT: every product allele*quality*phase
+    primitives.  The sort stays IN-graph deliberately: it adds no jit
+    shape (same pow2-bucketed nnz), the chip sorts 16.7M keys in ~0.07s
+    (docs/TPU_RUNS.md round 3), and a host lexsort would serialize on
+    exactly the slow host memory the device path exists to avoid.  Arithmetic is EXACT: every product allele*quality*phase
     is an integer with |.| <= 40, so int32 running sums are exact up to
     ~53M observations per contig (far beyond any chromosome) and the
     results match the float64 host scorer bit for bit."""

@@ -93,11 +93,17 @@ def export_sklearn_tree(clf) -> dict:
         if t.children_left[i] == -1:
             counts = t.value[i][0]
             return {"leaf": int(clf.classes_[int(np.argmax(counts))])}
+        left = node(int(t.children_left[i]))
+        right = node(int(t.children_right[i]))
+        if left == right:
+            # degenerate split (same prediction either way — happens when
+            # impurity improves but the argmax class doesn't): collapse
+            return left
         return {
             "feature": int(t.feature[i]),
             "threshold": float(t.threshold[i]),
-            "left": node(int(t.children_left[i])),
-            "right": node(int(t.children_right[i])),
+            "left": left,
+            "right": right,
         }
 
     return {"features": list(FEATURE_NAMES), "tree": node(0)}
@@ -132,8 +138,12 @@ def main(argv=None) -> int:
     holdout = HOLDOUT[:2] if quick else HOLDOUT
     mb = 0.25 if quick else 0.5
 
+    # all simulated datasets live under one session dir so a run leaves
+    # nothing behind (previously mkdtemp leaked ~33 BAM+FASTA dirs/run)
+    data_root = tempfile.TemporaryDirectory(prefix="dtrain_data_")
+
     def dataset(cov, seed, err=0.02):
-        d = tempfile.mkdtemp(prefix=f"dtrain_{cov}_{seed}_")
+        d = tempfile.mkdtemp(prefix=f"{cov}_{seed}_", dir=data_root.name)
         simulate_dataset(d, SimConfig(contigs={"chr21": int(mb * 1e6)},
                                       seed=seed, coverage=float(cov),
                                       sub_error=err))
@@ -148,8 +158,12 @@ def main(argv=None) -> int:
         ys.append(y)
     X = np.concatenate(Xs)
     y = np.concatenate(ys)
+    # balanced class weights: class-0 (filtered) rows are rare in the
+    # training callsets (the candidate min-support filter removes most
+    # false candidates before the decision stage) — unweighted fits left
+    # class 0 unreachable in the exported tree
     clf = DecisionTreeClassifier(max_depth=5, min_samples_leaf=15,
-                                 random_state=0)
+                                 class_weight="balanced", random_state=0)
     clf.fit(X, y)
     model = export_sklearn_tree(clf)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
@@ -168,6 +182,7 @@ def main(argv=None) -> int:
         "model": out_path,
         "holdout": rows,
     }, indent=2))
+    data_root.cleanup()
     return 0
 
 

@@ -159,3 +159,39 @@ def test_sparse_device_single_call_and_overflow_fallback():
     assert dispatch.snapshot().get("haplotag", {}).get("device", 0) == 1
     for h, d, name in zip(host, dev, ("hap", "ps", "pc")):
         np.testing.assert_array_equal(d, h, err_msg=name)
+
+
+def test_int32_exactness_guard_routes_to_host(monkeypatch):
+    """Above the int32-exactness bound the device refine AND scorer both
+    fall back to the float64 host twins (their global int32 cumsums wrap
+    past ~53M entries); outputs equal the host-only run."""
+    import duet_tpu.ops.sparse_power as spw
+    from duet_tpu.utils import dispatch
+
+    rng = np.random.default_rng(7)
+    D, _ = diploid_matrix(rng, n_reads=80, n_sites=60, span=10, err=0.05)
+    am = matrix_from_dense(D)
+    phase, block_id, block_ps = sp._initial_phase(am)
+
+    monkeypatch.setattr(spw, "INT32_EXACT_NNZ", len(am.row) - 1)
+    # refine: the phase_contig-level guard must pick the host iteration
+    # even with use_device=True (route the matrix in via build_allele_matrix
+    # so the full phase_contig path runs)
+    monkeypatch.setattr(sp, "build_allele_matrix",
+                        lambda cr, snps, cfg, obs=None: am)
+    dispatch.reset()
+    result = sp.phase_contig(None, None, use_device=True)
+    snap = dispatch.snapshot().get("phase_refine", {})
+    assert snap.get("host", 0) >= 1 and snap.get("device", 0) == 0
+    host_result = sp.phase_contig(None, None, use_device=False)
+    np.testing.assert_array_equal(result.read_hap, host_result.read_hap)
+    out_dev = sp._power_refine(am, phase, block_id, sweeps=2)
+
+    # scorer: _haplotag_sparse_device's own guard
+    dispatch.reset()
+    got = sp._haplotag_sparse_device(am, out_dev, block_id, block_ps)
+    want = sp._haplotag(am, out_dev, block_id, block_ps)
+    snap = dispatch.snapshot().get("haplotag", {})
+    assert snap.get("device", 0) == 0
+    for g, w, name in zip(got, want, ("hap", "ps", "pc")):
+        np.testing.assert_array_equal(g, w, err_msg=name)

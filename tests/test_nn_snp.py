@@ -145,6 +145,14 @@ def test_auto_model_policy(tmp_path):
     assert choose_snp_model(image(5, 0.05), ref) == "counts"  # too thin
     assert choose_snp_model(np.zeros((L, 4), np.int32), ref) == "counts"
 
+    # coverage over N-reference stretches has no substitution rate and must
+    # not count as error: clean data + a deep N block stays "counts"
+    ref_n = ref.copy()
+    ref_n[: L // 10] = 4  # 10% of sampled rows are N reference
+    counts_n = image(15, 0.02)
+    counts_n[: L // 10, 0] = 15  # full-depth coverage over the N block
+    assert choose_snp_model(counts_n, ref_n) == "counts"
+
 
 def test_pipeline_auto_model_dispatch(tmp_path):
     """End-to-end: auto resolves to counts on a clean sim (recorded in the
