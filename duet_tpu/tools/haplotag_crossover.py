@@ -61,6 +61,8 @@ def main(argv=None) -> int:
     sizes = [int(s) * 1000 for s in (
         argv[argv.index("--sizes") + 1] if "--sizes" in argv
         else "50,100,200,400,800").split(",")]
+    modes = (argv[argv.index("--modes") + 1].split(",")
+             if "--modes" in argv else ["sparse", "dense"])
     import jax
 
     from duet_tpu.models.snp_phaser import _haplotag, _haplotag_device
@@ -73,7 +75,7 @@ def main(argv=None) -> int:
         host_s = time.perf_counter() - t0
         row = {"nnz": nnz, "reads": am.n_reads, "sites": am.n_sites,
                "host_s": round(host_s, 4)}
-        for mode in ("sparse", "dense"):
+        for mode in modes:
             t0 = time.perf_counter()
             dev = _haplotag_device(am, phase, block_id, block_ps, mode=mode)
             first_s = time.perf_counter() - t0  # compile on first shape
@@ -86,11 +88,11 @@ def main(argv=None) -> int:
             row[f"{mode}_first_s"] = round(first_s, 4)
             row[f"{mode}_speedup"] = round(host_s / dev_s, 2)
         rows.append(row)
-        print(f"# nnz={nnz} host={host_s:.3f}s sparse={row['sparse_s']:.3f}s "
-              f"dense={row['dense_s']:.3f}s (first "
-              f"{row['sparse_first_s']:.1f}/{row['dense_first_s']:.1f}s)",
-              file=sys.stderr)
-    cross = next((r["nnz"] for r in rows if r["sparse_speedup"] > 1.0), None)
+        print("# nnz=%d host=%.3fs %s" % (nnz, host_s, " ".join(
+            f"{m}={row[f'{m}_s']:.3f}s(first {row[f'{m}_first_s']:.1f}s)"
+            for m in modes)), file=sys.stderr)
+    cross = next((r["nnz"] for r in rows
+                  if r.get("sparse_speedup", 0) > 1.0), None)
     print(json.dumps({"backend": jax.default_backend(),
                       "crossover_nnz": cross, "rows": rows}))
     return 0
