@@ -50,20 +50,27 @@ def feature_matrix(f, regime: np.ndarray) -> np.ndarray:
     ], axis=1)
 
 
-_MODEL_CACHE: dict[str, dict] = {}
+_MODEL_CACHE: dict[tuple[str, float], dict] = {}
 
 
 def load_model(path: str | None = None) -> dict:
-    """Parse + validate the tree JSON once per path (the decision stage
-    calls this per chromosome)."""
-    key = path or _MODEL_PATH
+    """Parse + validate the tree JSON once per (path, mtime) — the decision
+    stage calls this per chromosome, and a retrain-then-evaluate loop that
+    rewrites the JSON in-process must see the new tree, not a stale cache
+    entry.  Returns a deep copy so caller mutation cannot poison the cache
+    (the model is a tiny dict)."""
+    import copy
+
+    real = os.path.realpath(path or _MODEL_PATH)
+    key = (real, os.path.getmtime(real))
     if key not in _MODEL_CACHE:
-        with open(key) as fh:
+        with open(real) as fh:
             model = json.load(fh)
         if model.get("features") != list(FEATURE_NAMES):
             raise ValueError("decision model feature contract mismatch")
+        _MODEL_CACHE.clear()  # at most one live entry per path generation
         _MODEL_CACHE[key] = model
-    return _MODEL_CACHE[key]
+    return copy.deepcopy(_MODEL_CACHE[key])
 
 
 def _eval_tree(node: dict, X: np.ndarray, out: np.ndarray,

@@ -127,7 +127,9 @@ def _score(row, col, av, phase, block_id, n_reads: int, n_sites: int):
     primitives.  The sort stays IN-graph deliberately: it adds no jit
     shape (same pow2-bucketed nnz), the chip sorts 16.7M keys in ~0.07s
     (docs/TPU_RUNS.md round 3), and a host lexsort would serialize on
-    exactly the slow host memory the device path exists to avoid.  Arithmetic is EXACT: every product allele*quality*phase
+    exactly the slow host memory the device path exists to avoid.
+
+    Arithmetic is EXACT: every product allele*quality*phase
     is an integer with |.| <= 40, so int32 running sums are exact up to
     ~53M observations per contig (far beyond any chromosome) and the
     results match the float64 host scorer bit for bit."""

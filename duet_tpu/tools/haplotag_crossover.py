@@ -91,10 +91,16 @@ def main(argv=None) -> int:
         print("# nnz=%d host=%.3fs %s" % (nnz, host_s, " ".join(
             f"{m}={row[f'{m}_s']:.3f}s(first {row[f'{m}_first_s']:.1f}s)"
             for m in modes)), file=sys.stderr)
-    cross = next((r["nnz"] for r in rows
-                  if r.get("sparse_speedup", 0) > 1.0), None)
+    # per-mode crossover; the top-level key reports the first requested
+    # mode so a dense-only run still gets a meaningful value
+    crossings = {
+        m: next((r["nnz"] for r in rows
+                 if r.get(f"{m}_speedup", 0) > 1.0), None)
+        for m in modes
+    }
     print(json.dumps({"backend": jax.default_backend(),
-                      "crossover_nnz": cross, "rows": rows}))
+                      "crossover_nnz": crossings[modes[0]],
+                      "crossover_nnz_by_mode": crossings, "rows": rows}))
     return 0
 
 
