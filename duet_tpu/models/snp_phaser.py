@@ -731,19 +731,20 @@ def _scatter_tagged(read_hap, read_pc, read_ps, block_ps, present, rows,
         read_ps[rsel] = block_ps[present[best[tagged]]]
 
 
-def phase_contig(cr: ContigReads, snps: ContigSnps,
-                 cfg: SnpCallConfig | None = None, sweeps: int = 2,
-                 use_device: bool = False, obs=None,
-                 min_junction_evidence: float = 0.0, mesh=None,
-                 device_min_nnz: int = 0,
-                 adaptive_junction_split: bool = False) -> PhaseResult:
-    """device_min_nnz: auto size gate for the device refine/scoring — below
-    this many allele-matrix entries the host sparse path wins (the kernels
-    are latency-bound round-trips at small sizes; bit-identical either
-    way).  0 = always use the device when use_device; an explicit mesh
-    always uses it (the mesh is an explicit opt-in)."""
+def phase_contig_core(cr: ContigReads, snps: ContigSnps,
+                      cfg: SnpCallConfig | None = None, sweeps: int = 2,
+                      use_device: bool = False, obs=None,
+                      min_junction_evidence: float = 0.0,
+                      device_min_nnz: int = 0,
+                      adaptive_junction_split: bool = False):
+    """Everything in phase_contig up to (not including) read scoring:
+    (am, phase, block_id, block_ps) for one contig.  Split out so the
+    pipeline can batch the final scoring launch across contigs
+    (score_contigs_batched) — the refine/correct loop stays per-contig
+    because its host-side switch correction interleaves with the device
+    sweeps and iteration counts differ per contig."""
     am = build_allele_matrix(cr, snps, cfg, obs=obs)
-    if mesh is None and len(am.row) < device_min_nnz:
+    if len(am.row) < device_min_nnz:
         use_device = False
     phase, block_id, block_ps = _initial_phase(am)
     if use_device:
@@ -776,13 +777,134 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
         adaptive=adaptive_junction_split)
     if new_ps is not None:
         block_id, block_ps = new_id, new_ps
-    if use_device:
+    return am, phase, block_id, block_ps
+
+
+def phase_contig(cr: ContigReads, snps: ContigSnps,
+                 cfg: SnpCallConfig | None = None, sweeps: int = 2,
+                 use_device: bool = False, obs=None,
+                 min_junction_evidence: float = 0.0, mesh=None,
+                 device_min_nnz: int = 0,
+                 adaptive_junction_split: bool = False) -> PhaseResult:
+    """device_min_nnz: auto size gate for the device refine/scoring — below
+    this many allele-matrix entries the host sparse path wins (the kernels
+    are latency-bound round-trips at small sizes; bit-identical either
+    way).  0 = always use the device when use_device; an explicit mesh
+    always uses it (the mesh is an explicit opt-in)."""
+    am, phase, block_id, block_ps = phase_contig_core(
+        cr, snps, cfg, sweeps,
+        use_device=use_device, obs=obs,
+        min_junction_evidence=min_junction_evidence,
+        device_min_nnz=0 if mesh is not None else device_min_nnz,
+        adaptive_junction_split=adaptive_junction_split)
+    if use_device and (mesh is not None or len(am.row) >= device_min_nnz):
         read_hap, read_ps, read_pc = _haplotag_device(
             am, phase, block_id, block_ps, mesh=mesh)
     else:
         read_hap, read_ps, read_pc = _haplotag(am, phase, block_id, block_ps)
     return PhaseResult(am.site_pos, phase, block_id, block_ps,
                        read_hap, read_ps, read_pc, row_names=am.row_names)
+
+
+def _finish_result(am, phase, block_id, block_ps, scored) -> PhaseResult:
+    """Assemble a PhaseResult from one contig's core state + a batched
+    scoring launch's (hap, pc, best_block, overflow) slice, with the host
+    fallback for reads spanning more than SLOT_K blocks (identical to the
+    single-contig _haplotag_sparse_device logic)."""
+    n = am.n_reads
+    read_hap = np.zeros(n, dtype=np.int8)
+    read_ps = np.full(n, -1, dtype=np.int64)
+    read_pc = np.full(n, -1, dtype=np.int32)
+    hap, pc, best, overflow = scored
+    tagged = (hap != 0) & ~overflow
+    read_hap[tagged] = hap[tagged]
+    read_pc[tagged] = pc[tagged]
+    read_ps[tagged] = block_ps[best[tagged]]
+    wide = np.flatnonzero(overflow)
+    if len(wide):
+        sub = np.isin(am.row, wide)
+        sub_am = AlleleMatrix(n, am.n_sites, am.site_pos, am.row[sub],
+                              am.col[sub], am.allele[sub], am.weight[sub])
+        h, p, c = _haplotag(sub_am, phase, block_id, block_ps)
+        read_hap[wide] = h[wide]
+        read_ps[wide] = p[wide]
+        read_pc[wide] = c[wide]
+    return PhaseResult(am.site_pos, phase, block_id, block_ps,
+                       read_hap, read_ps, read_pc, row_names=am.row_names)
+
+
+def score_contigs_batched(cores: dict[str, tuple], use_device: bool,
+                          device_min_nnz: int) -> dict[str, PhaseResult]:
+    """Final read scoring for MANY contigs, batched into as few device
+    launches as the int32-exactness bound allows (ops.sparse_power
+    haplotag_score_sparse_multi) — the per-call device floor is paid per
+    batch, not per contig, which both amortizes the TPU tunnel round-trip
+    and lets several sub-gate contigs cross the device gate TOGETHER
+    (their combined nnz decides).  Outputs are bit-identical to the
+    per-contig paths (pinned in tests)."""
+    results: dict[str, PhaseResult] = {}
+    order = list(cores)
+    batch_nnz = sum(len(cores[c][0].row) for c in order)
+    if not (use_device and batch_nnz >= device_min_nnz):
+        for c in order:
+            am, phase, block_id, block_ps = cores[c]
+            read_hap, read_ps, read_pc = _haplotag(am, phase, block_id,
+                                                   block_ps)
+            results[c] = PhaseResult(am.site_pos, phase, block_id, block_ps,
+                                     read_hap, read_ps, read_pc,
+                                     row_names=am.row_names)
+        return results
+    from duet_tpu.ops.sparse_power import (
+        INT32_EXACT_NNZ,
+        haplotag_score_sparse_multi,
+    )
+
+    pending: list[str] = []
+    pending_nnz = 0
+
+    def flush() -> None:
+        nonlocal pending_nnz
+        if not pending:
+            return
+        items = []
+        empties = []
+        for c in pending:
+            am, phase, block_id, _ = cores[c]
+            if am.n_sites == 0 or len(am.row) == 0 or len(cores[c][3]) == 0:
+                empties.append(c)
+            else:
+                items.append((c, (am, phase, block_id)))
+        if items:
+            scored = haplotag_score_sparse_multi([it for _, it in items])
+            for (c, _), sc in zip(items, scored):
+                results[c] = _finish_result(*cores[c], sc)
+        for c in empties:
+            am, phase, block_id, block_ps = cores[c]
+            n = am.n_reads
+            results[c] = PhaseResult(
+                am.site_pos, phase, block_id, block_ps,
+                np.zeros(n, np.int8), np.full(n, -1, np.int64),
+                np.full(n, -1, np.int32), row_names=am.row_names)
+        pending.clear()
+        pending_nnz = 0
+
+    for c in order:
+        nnz = len(cores[c][0].row)
+        if nnz > INT32_EXACT_NNZ:
+            # past the exactness bound: float64 host scorer for this contig
+            am, phase, block_id, block_ps = cores[c]
+            read_hap, read_ps, read_pc = _haplotag(am, phase, block_id,
+                                                   block_ps)
+            results[c] = PhaseResult(am.site_pos, phase, block_id, block_ps,
+                                     read_hap, read_ps, read_pc,
+                                     row_names=am.row_names)
+            continue
+        if pending_nnz + nnz > INT32_EXACT_NNZ:
+            flush()
+        pending.append(c)
+        pending_nnz += nnz
+    flush()
+    return results
 
 
 def read_hap_map(cr: ContigReads, result: PhaseResult) -> dict[str, tuple[int, int, int]]:

@@ -181,6 +181,68 @@ def _score(row, col, av, phase, block_id, n_reads: int, n_sites: int):
     return hap, pc, best_block, overflow
 
 
+def haplotag_score_sparse_multi(items):
+    """ONE device launch scoring SEVERAL contigs' COO matrices at once.
+
+    `items`: list of (am, phase, block_id) per contig.  Per-contig COO
+    blocks concatenate with read/site/block offsets into one big sparse
+    matrix — reads never straddle contigs, sites stay position-sorted
+    within their contig, and phase-set blocks remain intervals of the
+    concatenated site axis, so the single-contig kernel (_score) applies
+    unchanged and the ~0.3s per-call device floor (docs/TPU_RUNS.md) is
+    paid once per BATCH instead of once per contig (VERDICT r3 weak #6).
+
+    Returns a list of (hap, pc, best_block, overflow) per item with
+    best_block re-based to the item's own block table.  Raises ValueError
+    past the int32-exactness bound — callers split batches below it."""
+    from duet_tpu.utils import dispatch
+
+    tot_nnz = sum(len(it[0].row) for it in items)
+    if tot_nnz > INT32_EXACT_NNZ:
+        raise ValueError(
+            f"batched nnz {tot_nnz} exceeds the int32-exactness bound "
+            f"{INT32_EXACT_NNZ}; split the batch")
+    tot_reads = sum(it[0].n_reads for it in items)
+    tot_sites = sum(it[0].n_sites for it in items)
+    n_reads = _pow2(tot_reads)
+    n_sites = _pow2(tot_sites)
+    nnz_pad = _pow2(max(tot_nnz, 1))
+    row = np.full(nnz_pad, n_reads, dtype=np.int32)
+    col = np.full(nnz_pad, n_sites, dtype=np.int32)
+    av = np.zeros(nnz_pad, dtype=np.int32)
+    phase_pad = np.zeros(n_sites + 1, dtype=np.int32)
+    blk_pad = np.zeros(n_sites + 1, dtype=np.int32)
+    metas = []
+    r_off = s_off = b_off = z = 0
+    for am, phase, block_id in items:
+        k = len(am.row)
+        row[z:z + k] = am.row + r_off
+        col[z:z + k] = am.col + s_off
+        av[z:z + k] = am.allele.astype(np.int32) * am.weight.astype(np.int32)
+        phase_pad[s_off:s_off + am.n_sites] = phase
+        # block -1 (site with no observations) never appears in col, so the
+        # offset shift only needs to be right for covered sites
+        blk_pad[s_off:s_off + am.n_sites] = block_id + b_off
+        metas.append((r_off, am.n_reads, b_off))
+        r_off += am.n_reads
+        s_off += am.n_sites
+        b_off += int(block_id.max()) + 1 if len(block_id) else 0
+        z += k
+    dispatch.record("haplotag", "device")
+    hap, pc, best, ovf = _score(
+        jnp.asarray(row), jnp.asarray(col), jnp.asarray(av),
+        jnp.asarray(phase_pad), jnp.asarray(blk_pad), n_reads, n_sites)
+    hap = np.asarray(hap)
+    pc = np.asarray(pc)
+    best = np.asarray(best)
+    ovf = np.asarray(ovf)
+    return [
+        (hap[r0:r0 + nr].astype(np.int8), pc[r0:r0 + nr],
+         best[r0:r0 + nr] - b0, ovf[r0:r0 + nr])
+        for r0, nr, b0 in metas
+    ]
+
+
 def haplotag_score_sparse(am, phase: np.ndarray, block_id: np.ndarray):
     """Device twin of models.snp_phaser._haplotag's scoring math on the COO.
 

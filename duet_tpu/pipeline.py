@@ -398,25 +398,51 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     out_dir = os.path.join(cfg.output, "snp_phasing")
     os.makedirs(out_dir, exist_ok=True)
 
-    def one(item):
-        contig, snps = item
-        cr = st.store.contigs[contig]
-        result = phase_contig(cr, snps, cfg.snp_cfg(),
-                              use_device=cfg.use_device_kernel,
-                              obs=st.site_obs.get(contig), mesh=st.mesh,
-                              min_junction_evidence=cfg.min_junction_evidence,
-                              device_min_nnz=cfg.phasing_device_min_nnz(),
-                              adaptive_junction_split=cfg.adaptive_junction_split)
-        return contig, snps, cr, result
-
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
-    if cfg.threads > 1 and len(work) > 1 and st.mesh is None:
-        from concurrent.futures import ThreadPoolExecutor
+    if st.mesh is None:
+        # batched scoring: the refine/correct loop runs per contig (its
+        # host-side switch correction interleaves with device sweeps), but
+        # the final scoring launch is ONE batched device call across
+        # contigs — the per-call device floor amortizes, and several
+        # sub-gate contigs can cross the device gate together (their
+        # combined nnz decides; bit-identical either way)
+        from duet_tpu.models.snp_phaser import (
+            phase_contig_core,
+            score_contigs_batched,
+        )
 
-        with ThreadPoolExecutor(cfg.threads) as ex:
-            results = list(ex.map(one, work))
+        def core(item):
+            contig, snps = item
+            cr = st.store.contigs[contig]
+            return contig, phase_contig_core(
+                cr, snps, cfg.snp_cfg(),
+                use_device=cfg.use_device_kernel,
+                obs=st.site_obs.get(contig),
+                min_junction_evidence=cfg.min_junction_evidence,
+                device_min_nnz=cfg.phasing_device_min_nnz(),
+                adaptive_junction_split=cfg.adaptive_junction_split)
+
+        if cfg.threads > 1 and len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(cfg.threads) as ex:
+                cores = dict(ex.map(core, work))
+        else:
+            cores = dict(map(core, work))
+        scored = score_contigs_batched(
+            cores, cfg.use_device_kernel, cfg.phasing_device_min_nnz())
+        results = [(c, s, st.store.contigs[c], scored[c]) for c, s in work]
     else:
-        results = list(map(one, work))
+        results = [
+            (c, s, st.store.contigs[c],
+             phase_contig(st.store.contigs[c], s, cfg.snp_cfg(),
+                          use_device=cfg.use_device_kernel,
+                          obs=st.site_obs.get(c), mesh=st.mesh,
+                          min_junction_evidence=cfg.min_junction_evidence,
+                          device_min_nnz=cfg.phasing_device_min_nnz(),
+                          adaptive_junction_split=cfg.adaptive_junction_split))
+            for c, s in work
+        ]
 
     for contig, snps, cr, result in results:
         st.phase_results[contig] = result

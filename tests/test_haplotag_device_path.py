@@ -195,3 +195,50 @@ def test_int32_exactness_guard_routes_to_host(monkeypatch):
     assert snap.get("device", 0) == 0
     for g, w, name in zip(got, want, ("hap", "ps", "pc")):
         np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+def test_multi_contig_batched_scoring_matches_per_contig():
+    """score_contigs_batched: several contigs' scoring in ONE launch is
+    bit-identical to per-contig scoring, and pays ONE device dispatch."""
+    from duet_tpu.utils import dispatch
+
+    cores = {}
+    expected = {}
+    for k, seed in enumerate((5, 6, 7)):
+        rng = np.random.default_rng(seed)
+        D, _ = diploid_matrix(rng, n_reads=80 + 30 * k, n_sites=50 + 10 * k,
+                              span=9, err=0.05)
+        am = matrix_from_dense(D)
+        phase, block_id, block_ps = sp._initial_phase(am)
+        phase = sp._power_refine(am, phase, block_id, sweeps=2)
+        cores[f"chr{k}"] = (am, phase, block_id, block_ps)
+        expected[f"chr{k}"] = sp._haplotag(am, phase, block_id, block_ps)
+    dispatch.reset()
+    results = sp.score_contigs_batched(cores, use_device=True,
+                                       device_min_nnz=0)
+    calls = dispatch.snapshot().get("haplotag", {}).get("device", 0)
+    assert calls == 1  # three contigs, one launch
+    for c, (hap, ps, pc) in expected.items():
+        np.testing.assert_array_equal(results[c].read_hap, hap, err_msg=c)
+        np.testing.assert_array_equal(results[c].read_ps, ps, err_msg=c)
+        np.testing.assert_array_equal(results[c].read_pc, pc, err_msg=c)
+
+
+def test_batched_scoring_host_below_gate():
+    """Below the combined-nnz gate the batch scores on the host (identical
+    outputs), with zero device dispatch."""
+    from duet_tpu.utils import dispatch
+
+    rng = np.random.default_rng(8)
+    D, _ = diploid_matrix(rng, n_reads=60, n_sites=40, span=8, err=0.05)
+    am = matrix_from_dense(D)
+    phase, block_id, block_ps = sp._initial_phase(am)
+    cores = {"c": (am, phase, block_id, block_ps)}
+    expected = sp._haplotag(am, phase, block_id, block_ps)
+    dispatch.reset()
+    results = sp.score_contigs_batched(cores, use_device=True,
+                                       device_min_nnz=10**9)
+    assert dispatch.snapshot().get("haplotag", {}).get("device", 0) == 0
+    np.testing.assert_array_equal(results["c"].read_hap, expected[0])
+    np.testing.assert_array_equal(results["c"].read_ps, expected[1])
+    np.testing.assert_array_equal(results["c"].read_pc, expected[2])

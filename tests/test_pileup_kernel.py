@@ -53,23 +53,41 @@ def test_site_calling_matches_host():
     np.testing.assert_array_equal(np.asarray(alt_count)[pos_dev], host.alt_count)
 
 
+def reads_from_observations(positions, bases, quals):
+    """One 1-base read per observation (cigar 1M) — turns a synthetic
+    observation stream into the packed-reads layout call_snps_device
+    consumes, with identical counting semantics."""
+    from duet_tpu.io.readstore import ContigReads
+
+    order = np.argsort(positions, kind="stable")
+    positions, bases, quals = positions[order], bases[order], quals[order]
+    n = len(positions)
+    off = np.arange(n + 1, dtype=np.int64)
+    return ContigReads(
+        "c", n, [f"r{i}" for i in range(n)],
+        positions.astype(np.int64), positions.astype(np.int64) + 1,
+        np.zeros(n, np.uint8), np.full(n, 60, np.uint8),
+        np.zeros(n, np.uint8), off, np.zeros(n, np.int8),
+        np.ones(n, np.int32), off, bases.copy(), quals.copy(),
+    )
+
+
 def test_device_pileup_windowed_matches_host():
-    """Chunked device pileup (big-contig path): windows smaller than the
-    contig produce exactly the host caller's sites — counting is positional,
-    so the window seams must be invisible."""
+    """Chunked packed device pileup (big-contig path): windows smaller than
+    the contig produce exactly the host caller's sites — counting is
+    positional, so the window seams must be invisible."""
     from duet_tpu.models.snp_caller import call_snps_device
 
     rng = np.random.default_rng(5)
     L = 3000  # spans 3 windows of 1024
     cfg = SnpCallConfig()
     positions, bases, quals = random_observations(rng, L, 60_000)
-    read_idx = np.zeros(len(positions), np.int32)
     ref_codes = rng.integers(0, 4, L).astype(np.uint8)
     counts = count_alleles(positions.astype(np.int64), bases, quals, L,
                            cfg.min_base_qual)
     host = call_snps("c", counts, ref_codes, cfg)
-    obs = (positions.astype(np.int64), bases, quals, read_idx)
-    dev = call_snps_device("c", obs, ref_codes, cfg, window=1024)
+    cr = reads_from_observations(positions, bases, quals)
+    dev = call_snps_device("c", cr, ref_codes, cfg, window=1024)
     np.testing.assert_array_equal(dev.pos, host.pos)
     np.testing.assert_array_equal(dev.alt_code, host.alt_code)
     np.testing.assert_array_equal(dev.is_het, host.is_het)
@@ -77,9 +95,48 @@ def test_device_pileup_windowed_matches_host():
     np.testing.assert_array_equal(dev.alt_count, host.alt_count)
 
 
+def test_device_pileup_packed_realistic_reads():
+    """Packed device pileup on simulator reads (multi-op cigars with
+    insertions/deletions/soft-clips): the on-device expansion must
+    reproduce the host observation stream's counts bit-for-bit, both
+    whole-contig and windowed."""
+    import os
+    import tempfile
+
+    from duet_tpu.io.readstore import load_read_store
+    from duet_tpu.models.snp_caller import (
+        call_snps_any,
+        call_snps_device,
+        count_alleles,
+        pileup_observations,
+    )
+    from duet_tpu.sim import SimConfig, simulate_dataset
+
+    cfg = SnpCallConfig()
+    with tempfile.TemporaryDirectory() as tmp:
+        simulate_dataset(tmp, SimConfig(contigs={"c": 40_000}, seed=11,
+                                        coverage=8.0))
+        store = load_read_store(os.path.join(tmp, "reads.bam"))
+        from duet_tpu.io.fasta import FastaFile
+
+        ref_codes = FastaFile(os.path.join(tmp, "ref.fa")).fetch_codes("c")
+    cr = store.contigs["c"]
+    obs = pileup_observations(cr, cfg)
+    counts = count_alleles(obs[0], obs[1], obs[2], len(ref_codes),
+                           cfg.min_base_qual)
+    host = call_snps_any("c", counts, ref_codes, cfg)
+    for window in (1 << 24, 8192):
+        dev = call_snps_device("c", cr, ref_codes, cfg, window=window)
+        np.testing.assert_array_equal(dev.pos, host.pos)
+        np.testing.assert_array_equal(dev.alt_code, host.alt_code)
+        np.testing.assert_array_equal(dev.is_het, host.is_het)
+        np.testing.assert_array_equal(dev.depth, host.depth)
+        np.testing.assert_array_equal(dev.alt_count, host.alt_count)
+
+
 def test_past_end_observation_raises_host_and_device():
     """A read extending past the contig end fails loudly on BOTH paths
-    (the device scatter would otherwise silently drop observations)."""
+    (the device path would otherwise silently drop observations)."""
     import pytest
 
     from duet_tpu.models.snp_caller import call_snps_device
@@ -91,7 +148,7 @@ def test_past_end_observation_raises_host_and_device():
     quals = np.array([30, 30], dtype=np.uint8)
     with pytest.raises(ValueError, match="beyond contig length"):
         count_alleles(positions, bases, quals, L, cfg.min_base_qual)
-    obs = (positions, bases, quals, np.zeros(2, np.int32))
+    cr = reads_from_observations(positions, bases, quals)
     ref_codes = np.zeros(L, np.uint8)
     with pytest.raises(ValueError, match="beyond contig length"):
-        call_snps_device("c", obs, ref_codes, cfg)
+        call_snps_device("c", cr, ref_codes, cfg)
