@@ -116,21 +116,31 @@ def _parse_one_sv(cols: list[str]) -> SVRecord:
     if rname is not None:
         rec.read_names = (rname[7:] if "RNAMES=" in rname else rname[6:]).split(",")
 
+    def _count(x: str) -> int:
+        # the reference maps '.' to 0 and would crash on anything else
+        # (read_file.py:59-76); tolerate other non-numeric junk (e.g. a
+        # stray comma-packed value in a middle field) as 0 — identical on
+        # every input the reference survives, graceful where it dies
+        try:
+            return int(x)
+        except ValueError:
+            return 0
+
     gtinfo = rec.sample.split(":")
     if len(gtinfo) > 4:  # e.g. cuteSV GT:DR:DV:PL:GQ (read_file.py:57-62)
         rec.gt = gtinfo[0]
-        rec.ref_reads = int(gtinfo[1]) if gtinfo[1] != "." else 0
-        rec.var_reads = int(gtinfo[2]) if gtinfo[2] != "." else 0
+        rec.ref_reads = _count(gtinfo[1])
+        rec.var_reads = _count(gtinfo[2])
     elif len(gtinfo) >= 3:  # (read_file.py:63-76)
         rec.gt = gtinfo[0]
         last = gtinfo[-1]
         if "," not in last:
-            rec.ref_reads = int(gtinfo[1]) if gtinfo[1] != "." else 0
-            rec.var_reads = int(gtinfo[2]) if gtinfo[2] != "." else 0
+            rec.ref_reads = _count(gtinfo[1])
+            rec.var_reads = _count(gtinfo[2])
         else:  # comma-packed 'DR,DV' (e.g. SVIM AD field)
             dr, dv = last.split(",", 1)
-            rec.ref_reads = int(dr) if dr != "." else 0
-            rec.var_reads = int(dv) if dv != "." else 0
+            rec.ref_reads = _count(dr)
+            rec.var_reads = _count(dv)
     return rec
 
 

@@ -354,9 +354,40 @@ ADAPTIVE_RHO = 0.8    # ...and agreement ratio below this
 ADAPTIVE_N1 = True    # ...or spanning-read count <= 1
 
 
+def support_read_intervals(cr: ContigReads, names: set):
+    """Name-grouped reference spans of the given reads, as a
+    (sorted_starts, prefix_max_ends) pair for O(log n) junction queries —
+    or None when no read matches.  Split alignments of one name share a
+    pooled span, matching the allele matrix's name-grouped rows."""
+    spans: dict[str, list] = {}
+    for i, nm in enumerate(cr.names):
+        if nm in names:
+            s = spans.get(nm)
+            if s is None:
+                spans[nm] = [int(cr.starts[i]), int(cr.ends[i])]
+            else:
+                s[0] = min(s[0], int(cr.starts[i]))
+                s[1] = max(s[1], int(cr.ends[i]))
+    if not spans:
+        return None
+    arr = np.array(sorted(spans.values()), dtype=np.int64)
+    return arr[:, 0], np.maximum.accumulate(arr[:, 1])
+
+
+def _junction_protected(protect, p_lo: np.ndarray, p_hi: np.ndarray):
+    """True where some protected interval [a, b) spans the junction gap
+    (a <= p_lo and b > p_hi): an SV support read bridges the two sides, so
+    splitting there would push the call into the conservative two-PS
+    decision regime (reference sv_phasing_fn.py:86-105) and cost
+    calling/genotyping recall for no phasing-precision gain."""
+    starts, max_end = protect
+    idx = np.searchsorted(starts, p_lo, "right") - 1
+    return (idx >= 0) & (max_end[np.maximum(idx, 0)] > p_hi)
+
+
 def _split_weak_junctions(am: AlleleMatrix, phase: np.ndarray,
                           block_id: np.ndarray, min_e: float,
-                          adaptive: bool = False):
+                          adaptive: bool = False, protect=None):
     """Split phase-set blocks at boundaries whose converged junction
     evidence cannot pin the relative orientation of the two sides — an
     undetectable switch error there would flip every downstream call in
@@ -391,6 +422,10 @@ def _split_weak_junctions(am: AlleleMatrix, phase: np.ndarray,
             # than its peers), capped by min_e so well-supported blocks
             # never split
             weak = np.flatnonzero(E < min(min_e, med_E / 20.0))
+        if protect is not None and len(weak):
+            p_lo = am.site_pos[cols_b[weak]]
+            p_hi = am.site_pos[cols_b[weak + 1]]
+            weak = weak[~_junction_protected(protect, p_lo, p_hi)]
         new_block[cols_b[weak + 1]] = True
     if not new_block.any():
         return block_id, None
@@ -736,7 +771,8 @@ def phase_contig_core(cr: ContigReads, snps: ContigSnps,
                       use_device: bool = False, obs=None,
                       min_junction_evidence: float = 0.0,
                       device_min_nnz: int = 0,
-                      adaptive_junction_split: bool = False):
+                      adaptive_junction_split: bool = False,
+                      protect_intervals=None):
     """Everything in phase_contig up to (not including) read scoring:
     (am, phase, block_id, block_ps) for one contig.  Split out so the
     pipeline can batch the final scoring launch across contigs
@@ -774,7 +810,7 @@ def phase_contig_core(cr: ContigReads, snps: ContigSnps,
     # recall through the two-phase-set decision regime
     new_id, new_ps = _split_weak_junctions(
         am, phase, block_id, min_junction_evidence,
-        adaptive=adaptive_junction_split)
+        adaptive=adaptive_junction_split, protect=protect_intervals)
     if new_ps is not None:
         block_id, block_ps = new_id, new_ps
     return am, phase, block_id, block_ps
@@ -785,7 +821,8 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
                  use_device: bool = False, obs=None,
                  min_junction_evidence: float = 0.0, mesh=None,
                  device_min_nnz: int = 0,
-                 adaptive_junction_split: bool = False) -> PhaseResult:
+                 adaptive_junction_split: bool = False,
+                 protect_intervals=None) -> PhaseResult:
     """device_min_nnz: auto size gate for the device refine/scoring — below
     this many allele-matrix entries the host sparse path wins (the kernels
     are latency-bound round-trips at small sizes; bit-identical either
@@ -796,7 +833,8 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
         use_device=use_device, obs=obs,
         min_junction_evidence=min_junction_evidence,
         device_min_nnz=0 if mesh is not None else device_min_nnz,
-        adaptive_junction_split=adaptive_junction_split)
+        adaptive_junction_split=adaptive_junction_split,
+        protect_intervals=protect_intervals)
     if use_device and (mesh is not None or len(am.row) >= device_min_nnz):
         read_hap, read_ps, read_pc = _haplotag_device(
             am, phase, block_id, block_ps, mesh=mesh)

@@ -215,6 +215,7 @@ class PipelineState:
     ref: FastaFile | None = None
     snps: dict[str, ContigSnps] = field(default_factory=dict)
     site_obs: dict[str, tuple] = field(default_factory=dict)
+    sv_calls: dict[str, list] = field(default_factory=dict)
     phase_results: dict[str, PhaseResult] = field(default_factory=dict)
     read_haps: dict[str, dict[str, tuple[int, int, int]]] = field(default_factory=dict)
     mesh: object | None = None  # resolved jax.sharding.Mesh (cfg.mesh)
@@ -375,6 +376,7 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
                    for c, cr in work]
     calls = {c: r[0] for c, r in results}
     evidence = {c: r[1] for c, r in results}
+    st.sv_calls = calls  # the phasing stage protects their support spans
     pid, nproc = _proc(cfg)
     if nproc > 1:
         # per-contig calls + breakend evidence travel as a part-file:
@@ -392,6 +394,36 @@ def stage_sv_calling(cfg: PipelineConfig, st: PipelineState) -> None:
     n = sum(len(v) for v in calls.values())
     get_logger().info("clustered %d SV candidates + %d breakend pairs",
                       n, len(bnds))
+
+
+def _sv_protect_intervals(cfg: PipelineConfig, st: PipelineState, contig: str,
+                          cr=None):
+    """Support-read span table of the contig's candidate SV calls (the ones
+    that will reach the decision stage): weak-junction splitting must not
+    cut a phase set inside these spans, or the call lands in the
+    conservative two-PS regime and loses calling/genotyping recall
+    (VERDICT r3 weak #5; reference semantics sv_phasing_fn.py:86-105)."""
+    from duet_tpu.models.snp_phaser import support_read_intervals
+
+    cr = cr if cr is not None else st.store.contigs.get(contig)
+    calls = st.sv_calls.get(contig)
+    if calls is None and cfg.resume:
+        # resumed run: the calls live only in the artifact
+        variants = os.path.join(cfg.output, "sv_calling", "variants.vcf")
+        if os.path.exists(variants):
+            st.sv_calls = parse_sv_vcf(variants, True)
+            calls = st.sv_calls.get(contig)
+    if not calls or cr is None:
+        return None
+    names: set[str] = set()
+    for c in calls:
+        length = abs(getattr(c, "length", None) or getattr(c, "svlen", 0))
+        if length >= cfg.sv_min_size and c.support >= cfg.min_support_read \
+                and c.gt != "./.":
+            names.update(c.read_names)
+    if not names:
+        return None
+    return support_read_intervals(cr, names)
 
 
 def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
@@ -420,7 +452,8 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
                 obs=st.site_obs.get(contig),
                 min_junction_evidence=cfg.min_junction_evidence,
                 device_min_nnz=cfg.phasing_device_min_nnz(),
-                adaptive_junction_split=cfg.adaptive_junction_split)
+                adaptive_junction_split=cfg.adaptive_junction_split,
+                protect_intervals=_sv_protect_intervals(cfg, st, contig))
 
         if cfg.threads > 1 and len(work) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -440,7 +473,8 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
                           obs=st.site_obs.get(c), mesh=st.mesh,
                           min_junction_evidence=cfg.min_junction_evidence,
                           device_min_nnz=cfg.phasing_device_min_nnz(),
-                          adaptive_junction_split=cfg.adaptive_junction_split))
+                          adaptive_junction_split=cfg.adaptive_junction_split,
+                          protect_intervals=_sv_protect_intervals(cfg, st, c)))
             for c, s in work
         ]
 
@@ -746,6 +780,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             t = time.perf_counter()
             calls_all[cr.contig], bnd_evidence[cr.contig] = \
                 call_contig_with_evidence(cr, cfg.sv_cfg(), mesh=st.mesh)
+            st.sv_calls[cr.contig] = calls_all[cr.contig]
             _mark("sv_calling", t)
             t = time.perf_counter()
             result = phase_contig(cr, snps, cfg.snp_cfg(),
@@ -753,7 +788,9 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
                                   obs=site_obs, mesh=st.mesh,
                                   min_junction_evidence=cfg.min_junction_evidence,
                                   device_min_nnz=cfg.phasing_device_min_nnz(),
-                                  adaptive_junction_split=cfg.adaptive_junction_split)
+                                  adaptive_junction_split=cfg.adaptive_junction_split,
+                                  protect_intervals=_sv_protect_intervals(
+                                      cfg, st, cr.contig, cr=cr))
             st.read_haps[cr.contig] = read_hap_map(cr, result)
             write_phased_snp_vcf(
                 os.path.join(ph_dir, f"phased_{cr.contig}.vcf.gz"),

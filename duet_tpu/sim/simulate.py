@@ -42,6 +42,18 @@ class SimConfig:
     sub_error: float = 0.02
     indel_error: float = 0.01  # small 1-3bp sequencing indels
     qual_mean: int = 22
+    # spurious SV-sized insertion ARTIFACTS (library/basecall chimeras and
+    # homopolymer slippage — what real ONT data has and a clean simulation
+    # lacks).  They are never in the truth VCF, so the calls they seed are
+    # genuine false positives: the training source for the learned decision
+    # layer's class-0 (filtered) rows.  Insertions only: a post-hoc
+    # deletion artifact would mis-shift every downstream base of the read,
+    # which no aligner output exhibits.
+    artifact_ins_rate: float = 0.0   # per-read prob of one random-position INS
+    artifact_hotspots: int = 0       # recurrent slippage sites per contig...
+    artifact_hotspot_carry: float = 0.3  # ...each crossing read carries at this rate
+    artifact_len_min: int = 60
+    artifact_len_max: int = 220
 
 
 @dataclass
@@ -123,10 +135,55 @@ def _apply_sub_errors(rng, codes, cfg):
     return codes
 
 
+def _inject_ins_artifact(codes, quals, seg_cig, cut, k, rng, cfg):
+    """Splice a k-base random insertion at query offset `cut`: content and
+    quals gain the bases, the cigar gains an I run at the split point.
+    Downstream reference mapping is untouched (insertions consume query
+    only), so the read stays alignment-consistent."""
+    ins = _rand_codes(rng, k)
+    codes = np.concatenate([codes[:cut], ins, codes[cut:]])
+    quals = np.concatenate(
+        [quals[:cut], np.full(k, cfg.qual_mean, np.uint8), quals[cut:]])
+    new_cig: list[list[int]] = []
+    q = 0
+    inserted = False
+    for op, ln in seg_cig:
+        consumes_q = op in (0, 1)
+        if not inserted and consumes_q and q < cut <= q + ln:
+            a = cut - q
+            if a > 0:
+                new_cig.append([op, a])
+            new_cig.append([1, k])
+            if ln - a > 0:
+                new_cig.append([op, ln - a])
+            inserted = True
+        else:
+            new_cig.append([op, ln])
+        if consumes_q:
+            q += ln
+    if not inserted:
+        new_cig.append([1, k])
+    return codes, quals, new_cig
+
+
+def _query_cut_at(seg_cig, ref_start, h):
+    """Query offset of reference position `h` under the segment's cigar,
+    or None when h lands outside every M run."""
+    q, r = 0, ref_start
+    for op, ln in seg_cig:
+        if op == 0 and r <= h < r + ln:
+            return q + (h - r)
+        if op in (0, 2):
+            r += ln
+        if op in (0, 1):
+            q += ln
+    return None
+
+
 def _simulate_read(rng, ref_codes, start, target_span, hap,
                    snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, sv_kind,
                    ins_seq, cfg, tra_events=None, all_codes=None,
-                   all_snps=None):
+                   all_snps=None, hotspots=None):
     """Walk the reference from `start`, emitting the haplotype's bases with
     sequencing errors.  Returns a list of alignment segments
     [(contig, ref_start, strand, codes, quals, cigar)] in read order —
@@ -281,6 +338,29 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
         codes = _apply_sub_errors(rng, codes, cfg)
         quals = np.clip(rng.normal(cfg.qual_mean, 4, size=len(codes)),
                         5, 40).astype(np.uint8)
+        # spurious SV-sized insertion artifacts (single plain segments only;
+        # injected BEFORE the small-indel block so both see a valid cigar)
+        if single and strand == 0 and seg_contig is None:
+            if hotspots is not None and len(hotspots[0]):
+                hpos, hlen = hotspots
+                ref_span = sum(ln for op, ln in seg_cig if op in (0, 2))
+                lo = int(np.searchsorted(hpos, ref_start + 30))
+                hi = int(np.searchsorted(hpos, ref_start + ref_span - 30))
+                for j in range(lo, hi):
+                    if rng.random() < cfg.artifact_hotspot_carry:
+                        cut = _query_cut_at(seg_cig, ref_start, int(hpos[j]))
+                        if cut is not None and 10 < cut < len(codes) - 10:
+                            k = max(int(hlen[j]) + int(rng.integers(-5, 6)),
+                                    cfg.artifact_len_min)
+                            codes, quals, seg_cig = _inject_ins_artifact(
+                                codes, quals, seg_cig, cut, k, rng, cfg)
+            if cfg.artifact_ins_rate and len(codes) > 400 \
+                    and rng.random() < cfg.artifact_ins_rate:
+                cut = int(rng.integers(100, len(codes) - 100))
+                k = int(rng.integers(cfg.artifact_len_min,
+                                     cfg.artifact_len_max))
+                codes, quals, seg_cig = _inject_ins_artifact(
+                    codes, quals, seg_cig, cut, k, rng, cfg)
         # small sequencing indels only on single-segment reads (keeps split
         # bookkeeping simple; they never reach SV size anyway)
         if single and rng.random() < cfg.indel_error * 10 and seg_cig \
@@ -368,6 +448,13 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
             [(pa, cb, pb, gt) for ca, pa, cb, pb, gt in truth.tra if ca == name],
             key=lambda t: t[0],
         )
+        hotspots = None
+        if cfg.artifact_hotspots and length > 4000:
+            hp = np.sort(rng.integers(1000, length - 1000,
+                                      size=cfg.artifact_hotspots))
+            hl = rng.integers(cfg.artifact_len_min, cfg.artifact_len_max,
+                              size=cfg.artifact_hotspots)
+            hotspots = (hp.astype(np.int64), hl.astype(np.int64))
         n_reads = int(cfg.coverage * length / cfg.read_len_mean)
         starts = np.sort(rng.integers(0, max(1, length - 200), size=n_reads))
         spans = (cfg.read_len_mean
@@ -379,7 +466,7 @@ def simulate_dataset(out_dir: str, cfg: SimConfig | None = None):
                 rng, codes, int(starts[i]), int(spans[i]), int(haps[i]),
                 snp_pos, snp_gt, snp_alt, sv_pos, sv_len, sv_gt, sv_kind,
                 ins_seq, cfg, tra_events=tra_here, all_codes=contig_codes,
-                all_snps=all_snps,
+                all_snps=all_snps, hotspots=hotspots,
             )
             total = sum(len(s[3]) for s in segments)
             if total < 200 or not segments:

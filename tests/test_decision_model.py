@@ -70,3 +70,64 @@ def test_pipeline_learned_flag(tmp_path):
     rv = evaluate_files(v, str(tmp_path / "truth.vcf")).summary()
     rl = evaluate_files(l, str(tmp_path / "truth.vcf")).summary()
     assert rl["calling"]["f1"] >= rv["calling"]["f1"] - 0.1
+
+
+def _row_reaching_leaf(model, target):
+    """Construct a feature row that lands on a `target`-class leaf by
+    walking the shipped tree and satisfying each comparison; None when no
+    such leaf is reachable."""
+    def walk(node, bounds):
+        if "leaf" in node:
+            return bounds if node["leaf"] == target else None
+        f, t = node["feature"], node["threshold"]
+        lo, hi = bounds.get(f, (-1e12, 1e12))
+        if lo <= t:
+            got = walk(node["left"], {**bounds, f: (lo, min(hi, t))})
+            if got is not None:
+                return got
+        if hi > t:
+            got = walk(node["right"],
+                       {**bounds, f: (max(lo, np.nextafter(t, np.inf)), hi)})
+            if got is not None:
+                return got
+        return None
+
+    bounds = walk(model["tree"], {})
+    if bounds is None:
+        return None
+    x = np.zeros(len(dm.FEATURE_NAMES))
+    for f, (lo, hi) in bounds.items():
+        x[f] = hi if hi < 1e12 else lo
+    return x
+
+
+def test_shipped_tree_is_not_degenerate():
+    """Ship-bar (VERDICT r3 next #3): the production tree has depth >= 2,
+    a REACHABLE class-0 (filtered) leaf, and at least one magnitude/count
+    feature binding — a retrain that regresses to a stump fails here."""
+    from duet_tpu.tools.train_decision import tree_stats
+
+    model = dm.load_model()
+    depth, feats, classes = tree_stats(model["tree"])
+    assert depth >= 2
+    assert {0, 1, 2} <= classes
+    magnitude = {dm.FEATURE_NAMES.index(f) for f in
+                 ("totsc_ratio", "onehap_totsc", "hap_avgsc_diff",
+                  "totsc_min", "totsc_max", "ref_num", "sv_num",
+                  "hap_min", "hap_max", "hap0", "allhap")}
+    assert feats & magnitude
+
+
+def test_shipped_tree_class0_leaf_exercised():
+    """A concrete feature row (derived from the shipped tree's own
+    thresholds) actually comes back class 0 through the runtime
+    evaluator — the filter is learned, not inherited."""
+    model = dm.load_model()
+    row = _row_reaching_leaf(model, 0)
+    assert row is not None
+    assert dm.predict_class(model, row[None, :])[0] == 0
+    # and classes 1/2 stay reachable too
+    for cls in (1, 2):
+        r = _row_reaching_leaf(model, cls)
+        assert r is not None
+        assert dm.predict_class(model, r[None, :])[0] == cls

@@ -333,3 +333,65 @@ def test_phase_contig_adaptive_knob(tmp_path):
     # config default: adaptive on, absolute override wins inside the model
     assert PipelineConfig(bam="x", reference="y",
                           output="z").adaptive_junction_split
+
+
+def test_protect_intervals_suppress_split_inside_sv_span():
+    """A weak junction inside an SV support read's span is NOT split
+    (would push the call into the two-PS decision regime); the same
+    junction without protection, or with protection elsewhere, splits."""
+    import numpy as np
+
+    from duet_tpu.models import snp_phaser as sp
+
+    rows, cols, alleles, weights = [], [], [], []
+    rid = 0
+    for lo in (0, 4):
+        for _ in range(6):
+            for j in range(lo, lo + 4):
+                rows.append(rid); cols.append(j)
+                alleles.append(1 if (j % 2 == 0) else -1)
+                weights.append(30.0)
+            rid += 1
+    rows += [rid, rid]; cols += [3, 4]; alleles += [-1, 1]; weights += [4.0, 4.0]
+    rid += 1
+    am = sp.AlleleMatrix(
+        n_reads=rid, n_sites=8,
+        site_pos=np.arange(8, dtype=np.int64) * 100 + 1000,
+        row=np.array(rows, np.int32), col=np.array(cols, np.int32),
+        allele=np.array(alleles, np.int8), weight=np.array(weights, np.float32),
+        row_names=[f"r{i}" for i in range(rid)],
+    )
+    phase, block_id, _ = sp._initial_phase(am)
+    phase = sp._power_refine(am, phase, block_id, 2)
+    # junction between sites 3 (pos 1300) and 4 (pos 1400)
+    covering = (np.array([1200], np.int64), np.array([1500], np.int64))
+    _, ps_prot = sp._split_weak_junctions(am, phase, block_id, 2000.0,
+                                          protect=covering)
+    assert ps_prot is None  # suppressed: span covers the junction gap
+    elsewhere = (np.array([100], np.int64), np.array([1250], np.int64))
+    _, ps_free = sp._split_weak_junctions(am, phase, block_id, 2000.0,
+                                          protect=elsewhere)
+    assert ps_free is not None and len(ps_free) == 2
+
+
+def test_support_read_intervals_groups_split_alignments():
+    """Split alignments of one read name pool into one protected span."""
+    import numpy as np
+
+    from duet_tpu.io.readstore import ContigReads
+    from duet_tpu.models.snp_phaser import support_read_intervals
+
+    n = 3
+    off = np.arange(n + 1, dtype=np.int64)
+    cr = ContigReads(
+        "c", n, ["a", "b", "a"],
+        np.array([100, 400, 900], np.int64), np.array([200, 600, 1100], np.int64),
+        np.zeros(n, np.uint8), np.full(n, 60, np.uint8), np.zeros(n, np.uint8),
+        off, np.zeros(n, np.int8), np.ones(n, np.int32),
+        off, np.zeros(n, np.uint8), np.zeros(n, np.uint8),
+    )
+    out = support_read_intervals(cr, {"a"})
+    starts, max_end = out
+    # name "a" spans [100, 1100) pooled across its two segments
+    assert list(starts) == [100] and list(max_end) == [1100]
+    assert support_read_intervals(cr, {"zzz"}) is None
