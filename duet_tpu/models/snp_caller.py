@@ -308,11 +308,23 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
     (match_op_table is shared), same exact-integer AF cuts, same
     first-index argmax; counting is positional, so windowing cannot change
     any site's counts.  Shapes stay bucketed (pow2 op/byte/obs pads, one
-    window geometry), so jit compiles once per shape family."""
+    window geometry), so jit compiles once per shape family.
+
+    The payload packs min(qual, 31) and the base code into one byte —
+    exact for min_base_qual <= 31 (quality floors are ~10-20 in practice);
+    above that the packed comparison could differ, so the host caller runs
+    instead."""
     import jax.numpy as jnp
 
     from duet_tpu.ops.pileup import pileup_call_packed
     from duet_tpu.utils import dispatch
+
+    if cfg.min_base_qual > 31:
+        dispatch.record("snp_pileup", "host")
+        obs = pileup_observations(cr, cfg)
+        counts = count_alleles(obs[0], obs[1], obs[2], len(ref_codes),
+                               cfg.min_base_qual)
+        return call_snps(contig, counts, ref_codes, cfg)
 
     L = len(ref_codes)
     op_ref, op_q, op_len, _ = match_op_table(cr, cfg.min_mapq)
@@ -353,35 +365,32 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
         total_pad = _pow2(max(total, 1))
         n_ops = len(ln)
         ops_pad = _pow2(n_ops + 1)
-        op_ref_p = np.zeros(ops_pad, np.int32)
-        op_q_p = np.zeros(ops_pad, np.int32)
-        op_len_p = np.zeros(ops_pad, np.int32)
-        op_ref_p[:n_ops] = rw
-        op_q_p[:n_ops] = q0
-        op_len_p[:n_ops] = ln
+        ops3 = np.zeros((3, ops_pad), np.int32)
+        ops3[0, :n_ops] = rw
+        ops3[1, :n_ops] = q0
+        ops3[2, :n_ops] = ln
         # tail op absorbs the pad lanes (q=0/ref=0; masked via n_real);
         # its gathers stay in-bounds because total_pad - total <= total <=
         # len(seq_sl) (each observation maps to a distinct slice byte)
-        op_len_p[n_ops] = total_pad - total
+        ops3[2, n_ops] = total_pad - total
         ns_pad = _pow2(max(len(seq_sl), 1))
-        seq_p = np.zeros(ns_pad, np.uint8)
-        qual_p = np.zeros(ns_pad, np.uint8)
-        seq_p[: len(seq_sl)] = seq_sl
-        qual_p[: len(qual_sl)] = qual_sl
+        # one byte per read base over the link: min(qual, 31) << 3 | base
+        payload = np.zeros(ns_pad, np.uint8)
+        payload[: len(seq_sl)] = (
+            np.minimum(qual_sl, 31).astype(np.uint8) << 3) | seq_sl
         ref_p = np.full(Lw, 4, dtype=np.uint8)      # ref=4 padding never calls
         ref_p[: hi - lo] = ref_codes[lo:hi]
+        params = np.array([total, cfg.min_base_qual, cfg.min_depth,
+                           af_num, af_den, hom_num, hom_den,
+                           cfg.min_alt_reads], np.int32)
         dispatch.record("snp_pileup", "device")
-        n_sites, site_idx, alt_code, is_het, depth, alt_count = [
-            np.asarray(a) for a in pileup_call_packed(
-                jnp.asarray(op_ref_p), jnp.asarray(op_q_p),
-                jnp.asarray(op_len_p), jnp.asarray(seq_p),
-                jnp.asarray(qual_p), jnp.int32(total), jnp.asarray(ref_p),
-                jnp.int32(cfg.min_base_qual), jnp.int32(cfg.min_depth),
-                jnp.int32(af_num), jnp.int32(af_den), jnp.int32(hom_num),
-                jnp.int32(hom_den), jnp.int32(cfg.min_alt_reads),
-                total=total_pad, length=Lw, max_sites=max_sites)
-        ]
-        m = int(n_sites)
+        n_sites_d, out_d = pileup_call_packed(
+            jnp.asarray(ops3), jnp.asarray(payload), jnp.asarray(ref_p),
+            jnp.asarray(params), total=total_pad, length=Lw,
+            max_sites=max_sites)
+        m = int(n_sites_d)
+        out = np.asarray(out_d)
+        site_idx, alt_code, is_het, depth, alt_count = out
         if m > max_sites:
             # pathological site density: the fixed compaction overflowed.
             # Recount this window on the host (bit-identical caller) —
@@ -399,7 +408,7 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
         parts.append((
             pos_w + lo,
             alt_code[:m].astype(np.uint8),
-            is_het[:m],
+            is_het[:m].astype(bool),
             depth[:m].astype(np.int32),
             alt_count[:m].astype(np.int32),
         ))

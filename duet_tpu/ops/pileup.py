@@ -45,39 +45,50 @@ def pileup_counts(positions, bases, quals, length: int, min_base_qual):
 
 
 @partial(jax.jit, static_argnames=("total", "length", "max_sites"))
-def pileup_call_packed(op_ref, op_q, op_len, seq, qual, n_real, ref_codes,
-                       min_base_qual, min_depth, af_num, af_den, hom_num,
-                       hom_den, min_alt, *, total: int, length: int,
-                       max_sites: int):
+def pileup_call_packed(ops3, payload, ref_codes, params, *, total: int,
+                       length: int, max_sites: int):
     """Fused device pileup from PACKED READS: expand the per-op match table
     to the per-base observation stream ON DEVICE, count, call sites, and
     compact the (sparse) called sites — one launch per contig window.
 
     This replaces shipping the expanded observation stream host->device
     (~6 B/observation plus a host-side 3x repeat/gather expansion that
-    dominated the forced-device SNP stage): the inputs are the per-op
-    arrays (int32, ~read-count-scale rows) and the raw seq/qual byte
-    columns, ~2 B per read base.  Expansion is two `jnp.repeat`s with a
-    static total plus a grouped arange — the exact math of the host
-    models.snp_caller.pileup_observations, so counting is bit-identical.
+    dominated the forced-device SNP stage): the inputs are FOUR buffers —
+    the tunnel charges a round-trip per buffer, so everything rides as
+    few arrays as possible:
 
-    Padding contract (host side): op arrays padded so cumulative op_len
-    covers `total` exactly (one tail op with q=0/ref=0 absorbing the
-    remainder, then zero-length ops); pad lanes are masked by
-    `arange(total) < n_real`.  seq/qual padded to a static bucket at least
-    `total` long.  Returns (n_sites, site_idx[max_sites], alt_code,
-    is_het, depth, alt_count) with site rows beyond n_sites undefined —
-    the readback is O(max_sites), never O(L)."""
-    op_len32 = op_len.astype(jnp.int32)
-    boundary = jnp.cumsum(op_len32) - op_len32
+      ops3     (3, K) int32   rows [ref_start, query_start, length] of the
+                              match-op table (~read-count-scale K)
+      payload  (ns,) uint8    min(qual, 31) << 3 | base_code per read base
+                              (1 B/base; exact for min_base_qual <= 31 —
+                              the driver guards that)
+      ref_codes (L,) uint8    4 = never-call padding
+      params   (8,) int32     [n_real, min_base_qual, min_depth, af_num,
+                              af_den, hom_num, hom_den, min_alt]
+
+    Expansion is two `jnp.repeat`s with a static total plus a grouped
+    arange — the exact math of the host pileup_observations, so counting
+    is bit-identical.  Padding contract (host side): op rows padded so
+    cumulative length covers `total` exactly (one tail op with q=0/ref=0
+    absorbing the remainder, then zero-length ops); pad lanes are masked
+    by `lane < n_real`.  payload is padded to a static bucket at least
+    `total` long.  Returns (n_sites, out) with out = (5, max_sites) int32
+    rows [site_idx, alt_code, is_het, depth, alt_count] — O(max_sites)
+    readback in two buffers, never O(L)."""
+    op_ref, op_q, op_len = ops3[0], ops3[1], ops3[2]
+    n_real, min_base_qual, min_depth = params[0], params[1], params[2]
+    af_num, af_den, hom_num, hom_den, min_alt = (
+        params[3], params[4], params[5], params[6], params[7])
+    boundary = jnp.cumsum(op_len) - op_len
     lane = jnp.arange(total, dtype=jnp.int32)
-    within = lane - jnp.repeat(boundary, op_len32, total_repeat_length=total)
-    pos = jnp.repeat(op_ref, op_len32, total_repeat_length=total) + within
-    qidx = jnp.repeat(op_q, op_len32, total_repeat_length=total) + within
-    base = seq[qidx]
-    q = qual[qidx]
-    keep = (base < 4) & (q.astype(jnp.int32) >= min_base_qual) & (lane < n_real)
-    key = jnp.where(keep, pos * 4 + base.astype(jnp.int32), length * 4)
+    within = lane - jnp.repeat(boundary, op_len, total_repeat_length=total)
+    pos = jnp.repeat(op_ref, op_len, total_repeat_length=total) + within
+    qidx = jnp.repeat(op_q, op_len, total_repeat_length=total) + within
+    p = payload[qidx].astype(jnp.int32)
+    base = p & 7
+    q = p >> 3
+    keep = (base < 4) & (q >= min_base_qual) & (lane < n_real)
+    key = jnp.where(keep, pos * 4 + base, length * 4)
     sk = jnp.sort(key)
     bounds = jnp.searchsorted(sk, jnp.arange(length * 4 + 1, dtype=key.dtype))
     counts = jnp.diff(bounds).astype(jnp.int32).reshape(length, 4)
@@ -87,8 +98,10 @@ def pileup_call_packed(op_ref, op_q, op_len, seq, qual, n_real, ref_codes,
     n_sites = is_site.sum().astype(jnp.int32)
     (site_idx,) = jnp.nonzero(is_site, size=max_sites, fill_value=0)
     site_idx = site_idx.astype(jnp.int32)
-    return (n_sites, site_idx, alt_code[site_idx], is_het[site_idx],
-            depth[site_idx], alt_count[site_idx])
+    out = jnp.stack([
+        site_idx, alt_code[site_idx], is_het[site_idx].astype(jnp.int32),
+        depth[site_idx], alt_count[site_idx]])
+    return n_sites, out
 
 
 @partial(jax.jit, static_argnames=())

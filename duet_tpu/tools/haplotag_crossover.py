@@ -18,6 +18,11 @@ crossover and the gate constant references it.
     python -m duet_tpu.tools.haplotag_crossover [--sizes 50,100,200,400,800]
         (sizes are nnz in thousands; first device call pays the jit compile
          and is reported separately as compile_s)
+    python -m duet_tpu.tools.haplotag_crossover --multi 2,4,8 --sizes 512
+        (multi-contig batched launch, round 4: K contigs of `sizes[0]` nnz
+         each scored in ONE haplotag_score_sparse_multi call vs K host
+         passes vs K serial device calls — the per-call device floor
+         amortization measurement behind the batch gate)
 """
 
 from __future__ import annotations
@@ -56,6 +61,61 @@ def make_problem(nnz_target: int, seed: int = 0, obs_per_read: int = 9):
     return am, phase, block_id, block_ps
 
 
+def run_multi(ks: list[int], nnz_each: int) -> int:
+    """K-contig batched-launch benchmark: host per-contig loop vs K serial
+    sparse device calls vs ONE batched multi launch, equality-asserted."""
+    import jax
+
+    from duet_tpu.models.snp_phaser import _haplotag, _haplotag_sparse_device
+    from duet_tpu.ops.sparse_power import haplotag_score_sparse_multi
+
+    rows = []
+    for K in ks:
+        problems = [make_problem(nnz_each, seed=100 + i) for i in range(K)]
+        t0 = time.perf_counter()
+        host = [_haplotag(am, ph, bid, bps) for am, ph, bid, bps in problems]
+        host_s = time.perf_counter() - t0
+        # serial per-contig device calls (pays the per-call floor K times)
+        t0 = time.perf_counter()
+        serial = [_haplotag_sparse_device(am, ph, bid, bps)
+                  for am, ph, bid, bps in problems]
+        serial_first_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        serial = [_haplotag_sparse_device(am, ph, bid, bps)
+                  for am, ph, bid, bps in problems]
+        serial_s = time.perf_counter() - t0
+        # one batched launch
+        items = [(am, ph, bid) for am, ph, bid, _ in problems]
+        t0 = time.perf_counter()
+        multi = haplotag_score_sparse_multi(items)
+        multi_first_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        multi = haplotag_score_sparse_multi(items)
+        multi_s = time.perf_counter() - t0
+        for (am, ph, bid, bps), h, s, m in zip(problems, host, serial, multi):
+            hap, pc, best, ovf = m
+            tagged = (hap != 0) & ~ovf
+            np.testing.assert_array_equal(h[0][tagged], hap[tagged])
+            np.testing.assert_array_equal(h[1][tagged], bps[best[tagged]])
+            np.testing.assert_array_equal(h[2][tagged], pc[tagged])
+            for a, b in zip(h, s):
+                np.testing.assert_array_equal(a, b)
+        rows.append({
+            "contigs": K, "nnz_each": nnz_each, "host_s": round(host_s, 4),
+            "serial_device_s": round(serial_s, 4),
+            "serial_first_s": round(serial_first_s, 4),
+            "multi_s": round(multi_s, 4),
+            "multi_first_s": round(multi_first_s, 4),
+            "multi_vs_host": round(host_s / multi_s, 2),
+            "multi_vs_serial": round(serial_s / multi_s, 2),
+        })
+        print("# K=%d host=%.3fs serial=%.3fs multi=%.3fs" %
+              (K, host_s, serial_s, multi_s), file=sys.stderr)
+    print(json.dumps({"backend": jax.default_backend(), "mode": "multi",
+                      "rows": rows}))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     sizes = [int(s) * 1000 for s in (
@@ -63,6 +123,9 @@ def main(argv=None) -> int:
         else "50,100,200,400,800").split(",")]
     modes = (argv[argv.index("--modes") + 1].split(",")
              if "--modes" in argv else ["sparse", "dense"])
+    if "--multi" in argv:
+        ks = [int(k) for k in argv[argv.index("--multi") + 1].split(",")]
+        return run_multi(ks, sizes[0])
     import jax
 
     from duet_tpu.models.snp_phaser import _haplotag, _haplotag_device
