@@ -152,3 +152,24 @@ def test_past_end_observation_raises_host_and_device():
     ref_codes = np.zeros(L, np.uint8)
     with pytest.raises(ValueError, match="beyond contig length"):
         call_snps_device("c", cr, ref_codes, cfg)
+
+
+def test_device_high_qual_floor_falls_back_to_host():
+    """min_base_qual > 31 cannot ride the 5-bit packed payload; the device
+    entry silently runs the bit-identical host caller instead."""
+    from duet_tpu.models.snp_caller import call_snps_any, call_snps_device
+    from duet_tpu.utils import dispatch
+
+    rng = np.random.default_rng(9)
+    L = 400
+    positions, bases, quals = random_observations(rng, L, 8000)
+    ref_codes = rng.integers(0, 4, L).astype(np.uint8)
+    cfg = SnpCallConfig(min_base_qual=35)
+    counts = count_alleles(positions.astype(np.int64), bases, quals, L, 35)
+    host = call_snps_any("c", counts, ref_codes, cfg)
+    cr = reads_from_observations(positions, bases, quals)
+    dispatch.reset()
+    dev = call_snps_device("c", cr, ref_codes, cfg)
+    assert dispatch.snapshot().get("snp_pileup", {}).get("device", 0) == 0
+    np.testing.assert_array_equal(dev.pos, host.pos)
+    np.testing.assert_array_equal(dev.alt_count, host.alt_count)
