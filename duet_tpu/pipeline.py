@@ -133,8 +133,14 @@ class PipelineConfig:
 
     def phasing_device_min_nnz(self) -> int:
         """Size gate for the phasing stage's device kernels: below ~1M
-        allele-matrix entries the host sparse path beats the per-call
-        device round-trips (bit-identical outputs either way).
+        allele-matrix entries the host sparse path beats the device
+        round-trips (bit-identical outputs either way).  Since round 4 the
+        final scoring launch is BATCHED across contigs
+        (snp_phaser.score_contigs_batched), so for scoring the gate
+        applies to the run's combined nnz — K sub-gate contigs cross it
+        together, and the ~0.3s per-call floor is paid once per batch
+        (measured 1.2-1.4x over serial launches, docs/TPU_RUNS.md round
+        4).  The per-contig refine keeps the per-contig gate.
         --device-stages on forces the device path at any size."""
         return 0 if self.device_stages == "on" else 1_000_000
 
