@@ -292,6 +292,33 @@ DEVICE_PILEUP_WINDOW = 1 << 24
 DEVICE_MAX_SITE_DENSITY = 128
 
 
+def _host_window(contig: str, ref_codes: np.ndarray, cfg: SnpCallConfig,
+                 lo: int, hi: int, rw, q0, ln, seq_sl, qual_sl):
+    """Recount ONE window on the host from its (already clipped) op table —
+    the device path's fallback for compaction overflow and int32-bound
+    windows.  Expands only this window's observations (the clipped ops are
+    in hand; re-deriving the whole contig's stream would cost tens of
+    seconds host-side per window on this VM).  Bit-identical to the main
+    host caller: same grouped-arange expansion, same count/call math."""
+    from duet_tpu.utils import dispatch
+
+    dispatch.record("snp_pileup", "host")
+    if len(ln):
+        m_lens = ln.astype(np.int64)
+        total = int(m_lens.sum())
+        boundary = np.cumsum(m_lens) - m_lens
+        within = np.arange(total, dtype=np.int64) - np.repeat(boundary, m_lens)
+        pos = np.repeat(rw.astype(np.int64), m_lens) + within
+        qidx = np.repeat(q0.astype(np.int64), m_lens) + within
+        counts = count_alleles(pos, seq_sl[qidx], qual_sl[qidx], hi - lo,
+                               cfg.min_base_qual)
+    else:
+        counts = np.zeros((hi - lo, 4), np.int32)
+    host = call_snps(contig, counts, ref_codes[lo:hi], cfg)
+    return (host.pos + lo, host.alt_code, host.is_het, host.depth,
+            host.alt_count)
+
+
 def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
                      cfg: SnpCallConfig,
                      window: int = DEVICE_PILEUP_WINDOW) -> ContigSnps:
@@ -362,9 +389,24 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
             rw, q0, ln = op_ref, op_q, op_len
             seq_sl, qual_sl = cr.seq, cr.qual
         total = int(ln.sum())
+        if len(seq_sl) >= 1 << 30:
+            # int32 exactness bound: query offsets (q0, absolute in the
+            # single-window case), the observation total, and the kernel's
+            # int32 length cumsum all index this slice; past 2^30 bytes
+            # (>64x coverage per 16 Mb window) pads could cross 2^31 and
+            # numpy/jax int32 casts wrap SILENTLY (CLAUDE.md: x64 is off).
+            # Recount the window on the bit-identical host caller instead.
+            parts.append(_host_window(contig, ref_codes, cfg, lo, hi,
+                                      rw, q0, ln, seq_sl, qual_sl))
+            continue
         total_pad = _pow2(max(total, 1))
         n_ops = len(ln)
-        ops_pad = _pow2(n_ops + 1)
+        # pad floors keep the (ops_pad, ns_pad, total_pad) jit-shape triple
+        # from fragmenting into many families (Axon compiles cost 66-744s
+        # each): op counts quantize no finer than 2^12, and the payload
+        # bucket never sits below the observation bucket (ns >= total
+        # always; they differ only by clipped/inserted bases)
+        ops_pad = max(_pow2(n_ops + 1), 1 << 12)
         ops3 = np.zeros((3, ops_pad), np.int32)
         ops3[0, :n_ops] = rw
         ops3[1, :n_ops] = q0
@@ -373,7 +415,7 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
         # its gathers stay in-bounds because total_pad - total <= total <=
         # len(seq_sl) (each observation maps to a distinct slice byte)
         ops3[2, n_ops] = total_pad - total
-        ns_pad = _pow2(max(len(seq_sl), 1))
+        ns_pad = max(_pow2(max(len(seq_sl), 1)), total_pad)
         # one byte per read base over the link: min(qual, 31) << 3 | base
         payload = np.zeros(ns_pad, np.uint8)
         payload[: len(seq_sl)] = (
@@ -395,14 +437,8 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
             # pathological site density: the fixed compaction overflowed.
             # Recount this window on the host (bit-identical caller) —
             # rare enough that a host pass beats a shape-family recompile.
-            dispatch.record("snp_pileup", "host")
-            pos_b, base_b, qual_b, _ = pileup_observations(cr, cfg)
-            in_w = (pos_b >= lo) & (pos_b < hi)
-            counts = count_alleles(pos_b[in_w] - lo, base_b[in_w],
-                                   qual_b[in_w], hi - lo, cfg.min_base_qual)
-            host = call_snps(contig, counts, ref_codes[lo:hi], cfg)
-            parts.append((host.pos + lo, host.alt_code, host.is_het,
-                          host.depth, host.alt_count))
+            parts.append(_host_window(contig, ref_codes, cfg, lo, hi,
+                                      rw, q0, ln, seq_sl, qual_sl))
             continue
         pos_w = site_idx[:m].astype(np.int64)
         parts.append((

@@ -532,25 +532,17 @@ HAPLOTAG_B = 126      # block columns per window: K = 2 + B = one 128-lane tile
 HAPLOTAG_DEVICE_MODE = "sparse"
 
 
-def _haplotag_sparse_device(am: AlleleMatrix, phase: np.ndarray,
-                            block_id: np.ndarray, block_ps: np.ndarray):
-    """Whole-contig device scoring over the COO (ops.sparse_power); reads
-    spanning more than SLOT_K phase-set blocks fall back to the host path.
-    Bit-identical to _haplotag (integer-exact f32 segment sums)."""
-    from duet_tpu.ops.sparse_power import (INT32_EXACT_NNZ,
-                                           haplotag_score_sparse)
-
+def _finish_scored(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
+                   block_ps: np.ndarray, scored):
+    """(read_hap, read_ps, read_pc) from a sparse scoring launch's
+    (hap, pc, best_block, overflow) — the shared epilogue of the
+    single-contig and multi-contig device paths, with the host fallback
+    for reads spanning more than SLOT_K phase-set blocks."""
     n = am.n_reads
     read_hap = np.zeros(n, dtype=np.int8)
     read_ps = np.full(n, -1, dtype=np.int64)
     read_pc = np.full(n, -1, dtype=np.int32)
-    if am.n_sites == 0 or len(am.row) == 0 or len(block_ps) == 0:
-        return read_hap, read_ps, read_pc
-    if len(am.row) > INT32_EXACT_NNZ:
-        # int32 running sums in the kernel are exact to ~53M entries
-        # (|product| <= 40); beyond that keep the float64 host path
-        return _haplotag(am, phase, block_id, block_ps)
-    hap, pc, best, overflow = haplotag_score_sparse(am, phase, block_id)
+    hap, pc, best, overflow = scored
     tagged = (hap != 0) & ~overflow
     read_hap[tagged] = hap[tagged]
     read_pc[tagged] = pc[tagged]
@@ -565,6 +557,26 @@ def _haplotag_sparse_device(am: AlleleMatrix, phase: np.ndarray,
         read_ps[wide] = p[wide]
         read_pc[wide] = c[wide]
     return read_hap, read_ps, read_pc
+
+
+def _haplotag_sparse_device(am: AlleleMatrix, phase: np.ndarray,
+                            block_id: np.ndarray, block_ps: np.ndarray):
+    """Whole-contig device scoring over the COO (ops.sparse_power); reads
+    spanning more than SLOT_K phase-set blocks fall back to the host path.
+    Bit-identical to _haplotag (integer-exact f32 segment sums)."""
+    from duet_tpu.ops.sparse_power import (INT32_EXACT_NNZ,
+                                           haplotag_score_sparse)
+
+    n = am.n_reads
+    if am.n_sites == 0 or len(am.row) == 0 or len(block_ps) == 0:
+        return (np.zeros(n, dtype=np.int8), np.full(n, -1, dtype=np.int64),
+                np.full(n, -1, dtype=np.int32))
+    if len(am.row) > INT32_EXACT_NNZ:
+        # int32 running sums in the kernel are exact to ~53M entries
+        # (|product| <= 40); beyond that keep the float64 host path
+        return _haplotag(am, phase, block_id, block_ps)
+    return _finish_scored(am, phase, block_id, block_ps,
+                          haplotag_score_sparse(am, phase, block_id))
 
 
 def _haplotag_device(am: AlleleMatrix, phase: np.ndarray, block_id: np.ndarray,
@@ -844,29 +856,9 @@ def phase_contig(cr: ContigReads, snps: ContigSnps,
                        read_hap, read_ps, read_pc, row_names=am.row_names)
 
 
-def _finish_result(am, phase, block_id, block_ps, scored) -> PhaseResult:
-    """Assemble a PhaseResult from one contig's core state + a batched
-    scoring launch's (hap, pc, best_block, overflow) slice, with the host
-    fallback for reads spanning more than SLOT_K blocks (identical to the
-    single-contig _haplotag_sparse_device logic)."""
-    n = am.n_reads
-    read_hap = np.zeros(n, dtype=np.int8)
-    read_ps = np.full(n, -1, dtype=np.int64)
-    read_pc = np.full(n, -1, dtype=np.int32)
-    hap, pc, best, overflow = scored
-    tagged = (hap != 0) & ~overflow
-    read_hap[tagged] = hap[tagged]
-    read_pc[tagged] = pc[tagged]
-    read_ps[tagged] = block_ps[best[tagged]]
-    wide = np.flatnonzero(overflow)
-    if len(wide):
-        sub = np.isin(am.row, wide)
-        sub_am = AlleleMatrix(n, am.n_sites, am.site_pos, am.row[sub],
-                              am.col[sub], am.allele[sub], am.weight[sub])
-        h, p, c = _haplotag(sub_am, phase, block_id, block_ps)
-        read_hap[wide] = h[wide]
-        read_ps[wide] = p[wide]
-        read_pc[wide] = c[wide]
+def _as_result(am, phase, block_id, block_ps, tagging) -> PhaseResult:
+    """PhaseResult from one contig's core state + a (hap, ps, pc) tagging."""
+    read_hap, read_ps, read_pc = tagging
     return PhaseResult(am.site_pos, phase, block_id, block_ps,
                        read_hap, read_ps, read_pc, row_names=am.row_names)
 
@@ -884,14 +876,8 @@ def score_contigs_batched(cores: dict[str, tuple], use_device: bool,
     order = list(cores)
     batch_nnz = sum(len(cores[c][0].row) for c in order)
     if not (use_device and batch_nnz >= device_min_nnz):
-        for c in order:
-            am, phase, block_id, block_ps = cores[c]
-            read_hap, read_ps, read_pc = _haplotag(am, phase, block_id,
-                                                   block_ps)
-            results[c] = PhaseResult(am.site_pos, phase, block_id, block_ps,
-                                     read_hap, read_ps, read_pc,
-                                     row_names=am.row_names)
-        return results
+        return {c: _as_result(*cores[c], _haplotag(*cores[c]))
+                for c in order}
     from duet_tpu.ops.sparse_power import (
         INT32_EXACT_NNZ,
         haplotag_score_sparse_multi,
@@ -902,27 +888,22 @@ def score_contigs_batched(cores: dict[str, tuple], use_device: bool,
 
     def flush() -> None:
         nonlocal pending_nnz
-        if not pending:
-            return
         items = []
-        empties = []
         for c in pending:
-            am, phase, block_id, _ = cores[c]
-            if am.n_sites == 0 or len(am.row) == 0 or len(cores[c][3]) == 0:
-                empties.append(c)
-            else:
-                items.append((c, (am, phase, block_id)))
-        if items:
-            scored = haplotag_score_sparse_multi([it for _, it in items])
-            for (c, _), sc in zip(items, scored):
-                results[c] = _finish_result(*cores[c], sc)
-        for c in empties:
             am, phase, block_id, block_ps = cores[c]
-            n = am.n_reads
-            results[c] = PhaseResult(
-                am.site_pos, phase, block_id, block_ps,
-                np.zeros(n, np.int8), np.full(n, -1, np.int64),
-                np.full(n, -1, np.int32), row_names=am.row_names)
+            if am.n_sites == 0 or len(am.row) == 0 or len(block_ps) == 0:
+                results[c] = _as_result(*cores[c], (
+                    np.zeros(am.n_reads, np.int8),
+                    np.full(am.n_reads, -1, np.int64),
+                    np.full(am.n_reads, -1, np.int32)))
+            else:
+                items.append(c)
+        if items:
+            scored = haplotag_score_sparse_multi(
+                [(cores[c][0], cores[c][1], cores[c][2]) for c in items])
+            for c, sc in zip(items, scored):
+                results[c] = _as_result(*cores[c],
+                                        _finish_scored(*cores[c], sc))
         pending.clear()
         pending_nnz = 0
 
@@ -930,12 +911,7 @@ def score_contigs_batched(cores: dict[str, tuple], use_device: bool,
         nnz = len(cores[c][0].row)
         if nnz > INT32_EXACT_NNZ:
             # past the exactness bound: float64 host scorer for this contig
-            am, phase, block_id, block_ps = cores[c]
-            read_hap, read_ps, read_pc = _haplotag(am, phase, block_id,
-                                                   block_ps)
-            results[c] = PhaseResult(am.site_pos, phase, block_id, block_ps,
-                                     read_hap, read_ps, read_pc,
-                                     row_names=am.row_names)
+            results[c] = _as_result(*cores[c], _haplotag(*cores[c]))
             continue
         if pending_nnz + nnz > INT32_EXACT_NNZ:
             flush()

@@ -413,12 +413,6 @@ def _sv_protect_intervals(cfg: PipelineConfig, st: PipelineState, contig: str,
 
     cr = cr if cr is not None else st.store.contigs.get(contig)
     calls = st.sv_calls.get(contig)
-    if calls is None and cfg.resume:
-        # resumed run: the calls live only in the artifact
-        variants = os.path.join(cfg.output, "sv_calling", "variants.vcf")
-        if os.path.exists(variants):
-            st.sv_calls = parse_sv_vcf(variants, True)
-            calls = st.sv_calls.get(contig)
     if not calls or cr is None:
         return None
     names: set[str] = set()
@@ -435,6 +429,19 @@ def _sv_protect_intervals(cfg: PipelineConfig, st: PipelineState, contig: str,
 def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
     out_dir = os.path.join(cfg.output, "snp_phasing")
     os.makedirs(out_dir, exist_ok=True)
+    if cfg.resume and not st.sv_calls:
+        # resumed run: the calls the protection intervals need live only in
+        # the artifact — parse it ONCE here, not per contig inside the
+        # thread pool
+        variants = os.path.join(cfg.output, "sv_calling", "variants.vcf")
+        if os.path.exists(variants):
+            parsed = parse_sv_vcf(variants, True)
+            # parse_sv_vcf canonicalizes contig spellings; key the table by
+            # the store's names so per-contig lookups hit
+            for c in st.store.contigs:
+                key = c if c in parsed else strip_chr(c)
+                if key in parsed:
+                    st.sv_calls[c] = parsed[key]
 
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
     if st.mesh is None:

@@ -173,3 +173,29 @@ def test_device_high_qual_floor_falls_back_to_host():
     assert dispatch.snapshot().get("snp_pileup", {}).get("device", 0) == 0
     np.testing.assert_array_equal(dev.pos, host.pos)
     np.testing.assert_array_equal(dev.alt_count, host.alt_count)
+
+
+def test_device_site_compaction_overflow_falls_back():
+    """A window denser than the fixed site-compaction capacity recounts on
+    the host (window-local op expansion) — outputs identical to the host
+    caller, with a host dispatch recorded next to the device one."""
+    from duet_tpu.models.snp_caller import call_snps_any, call_snps_device
+    from duet_tpu.utils import dispatch
+
+    L = 600  # one 1024-window; every position becomes a site (600 > 256)
+    positions = np.repeat(np.arange(L), 4).astype(np.int64)
+    bases = np.ones(len(positions), np.uint8)   # C everywhere
+    quals = np.full(len(positions), 30, np.uint8)
+    ref_codes = np.zeros(L, np.uint8)           # ref A
+    cfg = SnpCallConfig()
+    counts = count_alleles(positions, bases, quals, L, cfg.min_base_qual)
+    host = call_snps_any("c", counts, ref_codes, cfg)
+    assert len(host.pos) == L
+    cr = reads_from_observations(positions, bases, quals)
+    dispatch.reset()
+    dev = call_snps_device("c", cr, ref_codes, cfg, window=1024)
+    snap = dispatch.snapshot()["snp_pileup"]
+    assert snap.get("device", 0) == 1 and snap.get("host", 0) == 1
+    np.testing.assert_array_equal(dev.pos, host.pos)
+    np.testing.assert_array_equal(dev.is_het, host.is_het)
+    np.testing.assert_array_equal(dev.alt_count, host.alt_count)
