@@ -131,23 +131,65 @@ class PipelineConfig:
         way — the parity tests pin it)."""
         return self.use_device_kernel and self.device_stages == "on"
 
+    # phasing auto-gate constants: on a fast (PCIe/ICI) link the device
+    # wins from ~1M nnz (docs/SCALING.md crossover); through a slow tunnel
+    # the host sparse scorer wins to at least 4M combined nnz and is a
+    # wash at ~13M (docs/TPU_RUNS.md round-4 multi-launch table + round-3
+    # re-measure), so the slow-link gate sits at 8M
+    PHASING_GATE_FAST_NNZ = 1_000_000
+    PHASING_GATE_SLOW_NNZ = 8_000_000
+    FAST_LINK_MB_S = 1000.0
+
     def phasing_device_min_nnz(self) -> int:
-        """Size gate for the phasing stage's device kernels: below ~1M
-        allele-matrix entries the host sparse path beats the device
-        round-trips (bit-identical outputs either way).  Since round 4 the
-        final scoring launch is BATCHED across contigs
-        (snp_phaser.score_contigs_batched), so for scoring the gate
-        applies to the run's combined nnz — K sub-gate contigs cross it
-        together, and the ~0.3s per-call floor is paid once per batch
-        (measured 1.2-1.4x over serial launches, docs/TPU_RUNS.md round
-        4).  The per-contig refine keeps the per-contig gate.
-        --device-stages on forces the device path at any size."""
-        return 0 if self.device_stages == "on" else 1_000_000
+        """Size gate for the phasing stage's device kernels: below it the
+        host sparse path beats the device round-trips (bit-identical
+        outputs either way).  LINK-AWARE since round 4: the threshold
+        comes from the measured host->device bandwidth (utils.devlink,
+        one cached probe per process) — 1M nnz on a fast link, 8M through
+        a slow tunnel, per the measurements cited on the constants above.
+        Scoring is BATCHED across contigs (snp_phaser
+        .score_contigs_batched), so the gate applies to the run's
+        combined nnz — K sub-gate contigs cross it together and the
+        per-call floor is paid once per batch (measured 1.19-1.44x over
+        serial launches).  The per-contig refine keeps the per-contig
+        gate.  --device-stages on forces the device path at any size."""
+        if self.device_stages == "on":
+            return 0
+        if not _accelerator_live():
+            # CPU backend: "device" kernels run on the same host anyway;
+            # keep the deterministic fast-link gate and skip the probe
+            return self.PHASING_GATE_FAST_NNZ
+        from duet_tpu.utils.devlink import h2d_bandwidth_mb_s
+
+        return (self.PHASING_GATE_FAST_NNZ
+                if h2d_bandwidth_mb_s() >= self.FAST_LINK_MB_S
+                else self.PHASING_GATE_SLOW_NNZ)
 
     def snp_cfg(self) -> SnpCallConfig:
         return SnpCallConfig(min_af=self.min_allele_frequency,
                              model=self.snp_model,
                              device=self.pileup_on_device())
+
+    # sv-cluster auto-gate constants: the fast-link gate is where the
+    # kernel's dispatch latency amortizes (round-2 measurement); through a
+    # slow tunnel the per-process executable load (~60s, CLAUDE.md) plus
+    # transfers measured 63.9s for a 90k-signature contig the host
+    # clusters in ~1s (docs/TPU_RUNS.md round-4 production run), putting
+    # the slow-link breakeven near host-seconds ~= load-seconds, i.e.
+    # ~10M signatures
+    SV_GATE_FAST_K = 65536
+    SV_GATE_SLOW_K = 10_000_000
+
+    def sv_cluster_min_k(self) -> int:
+        if self.device_stages == "on":
+            return 0
+        if not _accelerator_live():
+            return self.SV_GATE_FAST_K
+        from duet_tpu.utils.devlink import h2d_bandwidth_mb_s
+
+        return (self.SV_GATE_FAST_K
+                if h2d_bandwidth_mb_s() >= self.FAST_LINK_MB_S
+                else self.SV_GATE_SLOW_K)
 
     def sv_cfg(self) -> SvCallConfig:
         return SvCallConfig(
@@ -157,10 +199,11 @@ class PipelineConfig:
             min_support=self.min_support_read,
             device=self.stages_on_device(),
             # "on" forces the kernel regardless of input size (parity tests,
-            # real accelerator hosts); auto keeps the size gate — the
-            # kernel's compile/transfer latency only amortizes on large
-            # signature sets
-            device_min_k=0 if self.device_stages == "on" else 65536,
+            # real accelerator hosts); auto keeps the LINK-AWARE size gate —
+            # the kernel's compile/transfer latency only amortizes on large
+            # signature sets, and the breakeven depends on the measured
+            # host->device bandwidth (see the constants above)
+            device_min_k=self.sv_cluster_min_k(),
         )
 
 

@@ -111,3 +111,35 @@ def test_forced_device_dispatch_counts_recorded(sim_dataset, tmp_path):
     assert dd["sv_cluster"].get("device", 0) > 0
     assert dd["haplotag"].get("device", 0) > 0
     assert dd["phase_refine"].get("device", 0) > 0
+
+
+def test_link_aware_phasing_gate(monkeypatch):
+    """The phasing auto-gate follows the measured H2D link: 1M nnz on a
+    fast link, 8M through a slow tunnel; CPU backends keep the fast gate
+    without probing; --device-stages on forces 0."""
+    from duet_tpu import pipeline
+    from duet_tpu.utils import devlink
+
+    cfg = pipeline.PipelineConfig(bam="x", reference="y", output="z")
+    assert cfg.phasing_device_min_nnz() == cfg.PHASING_GATE_FAST_NNZ
+    monkeypatch.setattr(pipeline, "_accelerator_live", lambda: True)
+    monkeypatch.setattr(devlink, "_cached", 200.0)       # tunnel-grade
+    assert cfg.phasing_device_min_nnz() == cfg.PHASING_GATE_SLOW_NNZ
+    monkeypatch.setattr(devlink, "_cached", 50_000.0)    # PCIe/ICI-grade
+    assert cfg.phasing_device_min_nnz() == cfg.PHASING_GATE_FAST_NNZ
+    forced = pipeline.PipelineConfig(bam="x", reference="y", output="z",
+                                     device_stages="on")
+    assert forced.phasing_device_min_nnz() == 0
+
+
+def test_link_aware_sv_cluster_gate(monkeypatch):
+    from duet_tpu import pipeline
+    from duet_tpu.utils import devlink
+
+    cfg = pipeline.PipelineConfig(bam="x", reference="y", output="z")
+    assert cfg.sv_cfg().device_min_k == cfg.SV_GATE_FAST_K  # cpu backend
+    monkeypatch.setattr(pipeline, "_accelerator_live", lambda: True)
+    monkeypatch.setattr(devlink, "_cached", 200.0)
+    assert cfg.sv_cfg().device_min_k == cfg.SV_GATE_SLOW_K
+    monkeypatch.setattr(devlink, "_cached", 50_000.0)
+    assert cfg.sv_cfg().device_min_k == cfg.SV_GATE_FAST_K
