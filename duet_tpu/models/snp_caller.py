@@ -292,31 +292,99 @@ DEVICE_PILEUP_WINDOW = 1 << 24
 DEVICE_MAX_SITE_DENSITY = 128
 
 
-def _host_window(contig: str, ref_codes: np.ndarray, cfg: SnpCallConfig,
-                 lo: int, hi: int, rw, q0, ln, seq_sl, qual_sl):
+def _pack_payload(seq: np.ndarray, qual: np.ndarray) -> np.ndarray:
+    """One byte per read base: min(qual, 31) << 3 | base_code.  The qual
+    clip is exact for any min_base_qual <= 31 (callers guard)."""
+    return (np.minimum(qual, 31).astype(np.uint8) << 3) | seq
+
+
+def _host_window(contig: str, ref_window: np.ndarray, cfg: SnpCallConfig,
+                 rw, q0, ln, packed):
     """Recount ONE window on the host from its (already clipped) op table —
     the device path's fallback for compaction overflow and int32-bound
     windows.  Expands only this window's observations (the clipped ops are
     in hand; re-deriving the whole contig's stream would cost tens of
     seconds host-side per window on this VM).  Bit-identical to the main
-    host caller: same grouped-arange expansion, same count/call math."""
+    host caller: same grouped-arange expansion, same count/call math (the
+    payload's qual clip at 31 cannot change any >= min_base_qual
+    comparison for min_base_qual <= 31)."""
     from duet_tpu.utils import dispatch
 
     dispatch.record("snp_pileup", "host")
+    W = len(ref_window)
     if len(ln):
         m_lens = ln.astype(np.int64)
         total = int(m_lens.sum())
         boundary = np.cumsum(m_lens) - m_lens
         within = np.arange(total, dtype=np.int64) - np.repeat(boundary, m_lens)
         pos = np.repeat(rw.astype(np.int64), m_lens) + within
-        qidx = np.repeat(q0.astype(np.int64), m_lens) + within
-        counts = count_alleles(pos, seq_sl[qidx], qual_sl[qidx], hi - lo,
-                               cfg.min_base_qual)
+        p = packed[np.repeat(q0.astype(np.int64), m_lens) + within]
+        counts = count_alleles(pos, p & 7, p >> 3, W, cfg.min_base_qual)
     else:
-        counts = np.zeros((hi - lo, 4), np.int32)
-    host = call_snps(contig, counts, ref_codes[lo:hi], cfg)
-    return (host.pos + lo, host.alt_code, host.is_het, host.depth,
-            host.alt_count)
+        counts = np.zeros((W, 4), np.int32)
+    host = call_snps(contig, counts, ref_window, cfg)
+    return (host.pos, host.alt_code, host.is_het, host.depth, host.alt_count)
+
+
+def _device_window(contig: str, ref_window: np.ndarray, cfg: SnpCallConfig,
+                   rw, q0, ln, packed, Lw: int, max_sites: int, rats):
+    """ONE padded kernel launch for a window (possibly a GROUP of
+    concatenated contigs); window-relative parts tuple (pos, alt_code,
+    is_het, depth, alt_count).  Falls back to the bit-identical host
+    recount for int32-bound or compaction-overflow windows."""
+    import jax.numpy as jnp
+
+    from duet_tpu.ops.pileup import pileup_call_packed
+    from duet_tpu.utils import dispatch
+
+    if len(packed) >= 1 << 30:
+        # int32 exactness bound: query offsets, the observation total and
+        # the kernel's int32 length cumsum all index this payload; past
+        # 2^30 bytes pads could cross 2^31 and numpy/jax int32 casts wrap
+        # SILENTLY (CLAUDE.md: x64 is off)
+        return _host_window(contig, ref_window, cfg, rw, q0, ln, packed)
+    af_num, af_den, hom_num, hom_den = rats
+    total = int(ln.sum())
+    total_pad = _pow2(max(total, 1))
+    n_ops = len(ln)
+    # pad floors keep the (ops_pad, ns_pad, total_pad) jit-shape triple
+    # from fragmenting into many families (Axon compiles cost 66-744s
+    # each): op counts quantize no finer than 2^12, and the payload
+    # bucket never sits below the observation bucket (ns >= total always;
+    # they differ only by clipped/inserted bases)
+    ops_pad = max(_pow2(n_ops + 1), 1 << 12)
+    ops4 = np.zeros((4, ops_pad), np.int32)
+    ops4[0, :n_ops] = rw
+    ops4[1, :n_ops] = q0
+    ops4[2, :n_ops] = ln
+    # tail op absorbs the pad lanes (q=0/ref=0; masked via n_real); its
+    # gathers stay in-bounds because total_pad - total <= total <=
+    # len(packed) (each observation maps to a distinct payload byte)
+    ops4[2, n_ops] = total_pad - total
+    ops4[3, :8] = (total, cfg.min_base_qual, cfg.min_depth,
+                   af_num, af_den, hom_num, hom_den, cfg.min_alt_reads)
+    ns_pad = max(_pow2(max(len(packed), 1)), total_pad)
+    payload_ref = np.zeros(ns_pad + Lw, np.uint8)
+    payload_ref[: len(packed)] = packed
+    payload_ref[ns_pad:] = 4                     # ref=4 padding never calls
+    payload_ref[ns_pad: ns_pad + len(ref_window)] = ref_window
+    dispatch.record("snp_pileup", "device")
+    out = np.asarray(pileup_call_packed(
+        jnp.asarray(ops4), jnp.asarray(payload_ref),
+        total=total_pad, length=Lw, max_sites=max_sites))
+    m = int(out[0])
+    if m > max_sites:
+        # pathological site density: the fixed compaction overflowed.
+        # Recount this window on the host (bit-identical caller) — rare
+        # enough that a host pass beats a shape-family recompile.
+        return _host_window(contig, ref_window, cfg, rw, q0, ln, packed)
+    site_idx, alt_code, is_het, depth, alt_count = out[1:].reshape(
+        5, max_sites)
+    return (site_idx[:m].astype(np.int64),
+            alt_code[:m].astype(np.uint8),
+            is_het[:m].astype(bool),
+            depth[:m].astype(np.int32),
+            alt_count[:m].astype(np.int32))
 
 
 def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
@@ -341,9 +409,6 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
     exact for min_base_qual <= 31 (quality floors are ~10-20 in practice);
     above that the packed comparison could differ, so the host caller runs
     instead."""
-    import jax.numpy as jnp
-
-    from duet_tpu.ops.pileup import pileup_call_packed
     from duet_tpu.utils import dispatch
 
     if cfg.min_base_qual > 31:
@@ -365,8 +430,7 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
         )
     Lw = min(_pow2(max(L, 1)), window)
     max_sites = _pow2(max(Lw // DEVICE_MAX_SITE_DENSITY, 256))
-    af_num, af_den = _as_rational(cfg.min_af)
-    hom_num, hom_den = _as_rational(cfg.hom_af)
+    rats = (*_as_rational(cfg.min_af), *_as_rational(cfg.hom_af))
     parts = []
     for lo in range(0, max(L, 1), Lw):
         hi = min(lo + Lw, L)
@@ -382,82 +446,119 @@ def call_snps_device(contig: str, cr: ContigReads, ref_codes: np.ndarray,
                 b1 = int((q0 + ln).max())
             else:
                 b0 = b1 = 0
-            seq_sl, qual_sl = cr.seq[b0:b1], cr.qual[b0:b1]
+            packed = _pack_payload(cr.seq[b0:b1], cr.qual[b0:b1])
             q0 = q0 - b0
             rw = s - lo
         else:
             rw, q0, ln = op_ref, op_q, op_len
-            seq_sl, qual_sl = cr.seq, cr.qual
-        total = int(ln.sum())
-        if len(seq_sl) >= 1 << 30:
-            # int32 exactness bound: query offsets (q0, absolute in the
-            # single-window case), the observation total, and the kernel's
-            # int32 length cumsum all index this slice; past 2^30 bytes
-            # (>64x coverage per 16 Mb window) pads could cross 2^31 and
-            # numpy/jax int32 casts wrap SILENTLY (CLAUDE.md: x64 is off).
-            # Recount the window on the bit-identical host caller instead.
-            parts.append(_host_window(contig, ref_codes, cfg, lo, hi,
-                                      rw, q0, ln, seq_sl, qual_sl))
-            continue
-        total_pad = _pow2(max(total, 1))
-        n_ops = len(ln)
-        # pad floors keep the (ops_pad, ns_pad, total_pad) jit-shape triple
-        # from fragmenting into many families (Axon compiles cost 66-744s
-        # each): op counts quantize no finer than 2^12, and the payload
-        # bucket never sits below the observation bucket (ns >= total
-        # always; they differ only by clipped/inserted bases)
-        ops_pad = max(_pow2(n_ops + 1), 1 << 12)
-        ops3 = np.zeros((3, ops_pad), np.int32)
-        ops3[0, :n_ops] = rw
-        ops3[1, :n_ops] = q0
-        ops3[2, :n_ops] = ln
-        # tail op absorbs the pad lanes (q=0/ref=0; masked via n_real);
-        # its gathers stay in-bounds because total_pad - total <= total <=
-        # len(seq_sl) (each observation maps to a distinct slice byte)
-        ops3[2, n_ops] = total_pad - total
-        ns_pad = max(_pow2(max(len(seq_sl), 1)), total_pad)
-        # one byte per read base over the link: min(qual, 31) << 3 | base
-        payload = np.zeros(ns_pad, np.uint8)
-        payload[: len(seq_sl)] = (
-            np.minimum(qual_sl, 31).astype(np.uint8) << 3) | seq_sl
-        ref_p = np.full(Lw, 4, dtype=np.uint8)      # ref=4 padding never calls
-        ref_p[: hi - lo] = ref_codes[lo:hi]
-        params = np.array([total, cfg.min_base_qual, cfg.min_depth,
-                           af_num, af_den, hom_num, hom_den,
-                           cfg.min_alt_reads], np.int32)
-        dispatch.record("snp_pileup", "device")
-        n_sites_d, out_d = pileup_call_packed(
-            jnp.asarray(ops3), jnp.asarray(payload), jnp.asarray(ref_p),
-            jnp.asarray(params), total=total_pad, length=Lw,
-            max_sites=max_sites)
-        m = int(n_sites_d)
-        out = np.asarray(out_d)
-        site_idx, alt_code, is_het, depth, alt_count = out
-        if m > max_sites:
-            # pathological site density: the fixed compaction overflowed.
-            # Recount this window on the host (bit-identical caller) —
-            # rare enough that a host pass beats a shape-family recompile.
-            parts.append(_host_window(contig, ref_codes, cfg, lo, hi,
-                                      rw, q0, ln, seq_sl, qual_sl))
-            continue
-        pos_w = site_idx[:m].astype(np.int64)
-        parts.append((
-            pos_w + lo,
-            alt_code[:m].astype(np.uint8),
-            is_het[:m].astype(bool),
-            depth[:m].astype(np.int32),
-            alt_count[:m].astype(np.int32),
-        ))
+            packed = _pack_payload(cr.seq, cr.qual)
+        part = _device_window(contig, ref_codes[lo:hi], cfg, rw, q0, ln,
+                              packed, Lw, max_sites, rats)
+        parts.append((part[0] + lo, *part[1:]))
+    return _assemble_snps(contig, parts, ref_codes)
+
+
+def _assemble_snps(contig: str, parts, ref_codes: np.ndarray) -> ContigSnps:
     pos = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
     return ContigSnps(
         contig=contig,
         pos=pos,
         ref_code=ref_codes[pos].astype(np.uint8),
-        alt_code=np.concatenate([p[1] for p in parts]),
-        is_het=np.concatenate([p[2] for p in parts]),
-        depth=np.concatenate([p[3] for p in parts]),
-        alt_count=np.concatenate([p[4] for p in parts]),
+        alt_code=np.concatenate([p[1] for p in parts]) if parts
+        else np.zeros(0, np.uint8),
+        is_het=np.concatenate([p[2] for p in parts]) if parts
+        else np.zeros(0, bool),
+        depth=np.concatenate([p[3] for p in parts]) if parts
+        else np.zeros(0, np.int32),
+        alt_count=np.concatenate([p[4] for p in parts]) if parts
+        else np.zeros(0, np.int32),
     )
+
+
+def call_snps_device_grouped(items, cfg: SnpCallConfig,
+                             window: int = DEVICE_PILEUP_WINDOW
+                             ) -> dict[str, ContigSnps]:
+    """Device SNP calling for MANY contigs with small ones GROUPED into one
+    kernel launch: contigs are concatenated along the reference axis
+    (counting is positional, so disjoint coordinate ranges cannot
+    interact) and the tunnel's per-launch round-trip cost is paid once per
+    group instead of once per contig — the same amortization the phasing
+    stage's score_contigs_batched applies (docs/TPU_RUNS.md round 4).
+    Contigs longer than one window keep their own windowed launches.
+    `items`: list of (contig, cr, ref_codes); bit-identical to per-contig
+    call_snps_device (tests pin it)."""
+    out: dict[str, ContigSnps] = {}
+    group: list[tuple] = []
+    group_L = 0
+    group_bytes = 0
+    rats = (*_as_rational(cfg.min_af), *_as_rational(cfg.hom_af))
+
+    def flush() -> None:
+        nonlocal group_L, group_bytes
+        if not group:
+            return
+        if len(group) == 1:
+            c, cr, ref = group[0]
+            out[c] = call_snps_device(c, cr, ref, cfg, window)
+        else:
+            _launch_group(group, cfg, rats, out)
+        group.clear()
+        group_L = 0
+        group_bytes = 0
+
+    for c, cr, ref in items:
+        L = len(ref)
+        # contigs too big to share a window (or to keep the group under
+        # the int32 payload bound) go through their own windowed path
+        if L > window // 2 or len(cr.seq) >= 1 << 29:
+            out[c] = call_snps_device(c, cr, ref, cfg, window)
+            continue
+        if group and (_pow2(group_L + L) > window
+                      or group_bytes + len(cr.seq) >= 1 << 29):
+            flush()
+        group.append((c, cr, ref))
+        group_L += L
+        group_bytes += len(cr.seq)
+    flush()
+    return out
+
+
+def _launch_group(group, cfg: SnpCallConfig, rats, out: dict) -> None:
+    """ONE kernel launch for several concatenated contigs; splits the
+    compacted sites back per contig."""
+    rw_all, q0_all, ln_all, packed_all, ref_all, offs = [], [], [], [], [], []
+    ref_off = 0
+    ns_off = 0
+    for c, cr, ref in group:
+        L = len(ref)
+        op_ref, op_q, op_len, _ = match_op_table(cr, cfg.min_mapq)
+        if len(op_len) and int((op_ref + op_len).max()) > L:
+            raise ValueError(
+                f"pileup observation at position "
+                f"{int((op_ref + op_len).max()) - 1} beyond contig length "
+                f"{L}: read alignment extends past the contig end")
+        rw_all.append(op_ref + ref_off)
+        q0_all.append(op_q + ns_off)
+        ln_all.append(op_len)
+        packed_all.append(_pack_payload(cr.seq, cr.qual))
+        ref_all.append(ref)
+        offs.append(ref_off)
+        ref_off += L
+        ns_off += len(cr.seq)
+    Lw = _pow2(max(ref_off, 1))
+    max_sites = _pow2(max(Lw // DEVICE_MAX_SITE_DENSITY, 256))
+    part = _device_window(
+        "+".join(c for c, _, _ in group), np.concatenate(ref_all), cfg,
+        np.concatenate(rw_all), np.concatenate(q0_all),
+        np.concatenate(ln_all), np.concatenate(packed_all),
+        Lw, max_sites, rats)
+    pos = part[0]
+    bounds = np.searchsorted(pos, offs + [ref_off])
+    for k, (c, cr, ref) in enumerate(group):
+        sl = slice(int(bounds[k]), int(bounds[k + 1]))
+        out[c] = _assemble_snps(
+            c, [(pos[sl] - offs[k], part[1][sl], part[2][sl],
+                 part[3][sl], part[4][sl])], ref)
 
 
 def snp_call_observations(contig: str, obs, ref_codes: np.ndarray,
@@ -546,13 +647,32 @@ def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
     reference's -t passthrough and GNU-parallel per-chromosome processes,
     SURVEY.md §2.4)."""
     cfg = cfg or SnpCallConfig()
+    work = [(c, cr) for c, cr in store.contigs.items() if c in ref_codes]
+    if cfg.device and cfg.model in ("counts", "auto") \
+            and cfg.min_base_qual <= 31 and len(work) > 1:
+        # forced device mode, several contigs: group small contigs into
+        # shared kernel launches (the tunnel charges per launch), then
+        # take the native at-site pass per contig
+        snps_out = call_snps_device_grouped(
+            [(c, cr, ref_codes[c]) for c, cr in work], cfg)
+        obs_out = {}
+        for c, cr in work:
+            try:
+                from duet_tpu.io.native_ingest import pileup_obs_native
+
+                obs_out[c], _ = pileup_obs_native(cr, cfg.min_mapq,
+                                                  site_pos=snps_out[c].pos)
+            except Exception:
+                obs = pileup_observations(cr, cfg)
+                obs_out[c] = filter_observations_to_sites(
+                    *obs, snps_out[c].pos)
+        return snps_out, obs_out
 
     def one(item):
         contig, cr = item
         snps, site_obs = call_contig_snps(contig, cr, ref_codes[contig], cfg)
         return contig, snps, site_obs
 
-    work = [(c, cr) for c, cr in store.contigs.items() if c in ref_codes]
     if threads > 1 and len(work) > 1:
         from concurrent.futures import ThreadPoolExecutor
 

@@ -45,40 +45,46 @@ def pileup_counts(positions, bases, quals, length: int, min_base_qual):
 
 
 @partial(jax.jit, static_argnames=("total", "length", "max_sites"))
-def pileup_call_packed(ops3, payload, ref_codes, params, *, total: int,
-                       length: int, max_sites: int):
+def pileup_call_packed(ops4, payload_ref, *, total: int, length: int,
+                       max_sites: int):
     """Fused device pileup from PACKED READS: expand the per-op match table
     to the per-base observation stream ON DEVICE, count, call sites, and
-    compact the (sparse) called sites — one launch per contig window.
+    compact the (sparse) called sites — one launch per contig-group
+    window.
 
     This replaces shipping the expanded observation stream host->device
     (~6 B/observation plus a host-side 3x repeat/gather expansion that
-    dominated the forced-device SNP stage): the inputs are FOUR buffers —
-    the tunnel charges a round-trip per buffer, so everything rides as
-    few arrays as possible:
+    dominated the forced-device SNP stage).  The TUNNEL charges a
+    round-trip per buffer (~0.3s each on this environment's link), so
+    everything rides as TWO uploads and ONE readback:
 
-      ops3     (3, K) int32   rows [ref_start, query_start, length] of the
-                              match-op table (~read-count-scale K)
-      payload  (ns,) uint8    min(qual, 31) << 3 | base_code per read base
-                              (1 B/base; exact for min_base_qual <= 31 —
-                              the driver guards that)
-      ref_codes (L,) uint8    4 = never-call padding
-      params   (8,) int32     [n_real, min_base_qual, min_depth, af_num,
-                              af_den, hom_num, hom_den, min_alt]
+      ops4        (4, K) int32   rows [ref_start, query_start, length] of
+                                 the match-op table (~read-count-scale K);
+                                 row 3's first 8 slots carry the scalar
+                                 params [n_real, min_base_qual, min_depth,
+                                 af_num, af_den, hom_num, hom_den, min_alt]
+      payload_ref (ns+L,) uint8  first ns bytes: min(qual, 31) << 3 | base
+                                 per read base (1 B/base; exact for
+                                 min_base_qual <= 31 — the driver guards
+                                 that); last L bytes: reference codes with
+                                 4 = never-call padding
 
     Expansion is two `jnp.repeat`s with a static total plus a grouped
     arange — the exact math of the host pileup_observations, so counting
     is bit-identical.  Padding contract (host side): op rows padded so
     cumulative length covers `total` exactly (one tail op with q=0/ref=0
     absorbing the remainder, then zero-length ops); pad lanes are masked
-    by `lane < n_real`.  payload is padded to a static bucket at least
-    `total` long.  Returns (n_sites, out) with out = (5, max_sites) int32
-    rows [site_idx, alt_code, is_het, depth, alt_count] — O(max_sites)
-    readback in two buffers, never O(L)."""
-    op_ref, op_q, op_len = ops3[0], ops3[1], ops3[2]
+    by `lane < n_real`.  Returns one flat int32 array
+    [n_sites, site_idx*max_sites, alt_code*, is_het*, depth*, alt_count*]
+    — O(max_sites) readback, never O(L)."""
+    op_ref, op_q, op_len = ops4[0], ops4[1], ops4[2]
+    params = ops4[3]
     n_real, min_base_qual, min_depth = params[0], params[1], params[2]
     af_num, af_den, hom_num, hom_den, min_alt = (
         params[3], params[4], params[5], params[6], params[7])
+    ns = payload_ref.shape[0] - length
+    payload = payload_ref[:ns]
+    ref_codes = payload_ref[ns:]
     boundary = jnp.cumsum(op_len) - op_len
     lane = jnp.arange(total, dtype=jnp.int32)
     within = lane - jnp.repeat(boundary, op_len, total_repeat_length=total)
@@ -98,10 +104,10 @@ def pileup_call_packed(ops3, payload, ref_codes, params, *, total: int,
     n_sites = is_site.sum().astype(jnp.int32)
     (site_idx,) = jnp.nonzero(is_site, size=max_sites, fill_value=0)
     site_idx = site_idx.astype(jnp.int32)
-    out = jnp.stack([
-        site_idx, alt_code[site_idx], is_het[site_idx].astype(jnp.int32),
-        depth[site_idx], alt_count[site_idx]])
-    return n_sites, out
+    return jnp.concatenate([
+        n_sites[None], site_idx, alt_code[site_idx],
+        is_het[site_idx].astype(jnp.int32), depth[site_idx],
+        alt_count[site_idx]])
 
 
 @partial(jax.jit, static_argnames=())

@@ -199,3 +199,40 @@ def test_device_site_compaction_overflow_falls_back():
     np.testing.assert_array_equal(dev.pos, host.pos)
     np.testing.assert_array_equal(dev.is_het, host.is_het)
     np.testing.assert_array_equal(dev.alt_count, host.alt_count)
+
+
+def test_grouped_device_pileup_matches_per_contig():
+    """Several small contigs in ONE grouped launch produce exactly the
+    per-contig device/host results, with a single device dispatch."""
+    import os
+    import tempfile
+
+    from duet_tpu.io.fasta import FastaFile
+    from duet_tpu.io.readstore import load_read_store
+    from duet_tpu.models.snp_caller import (
+        call_snps_device,
+        call_snps_device_grouped,
+    )
+    from duet_tpu.sim import SimConfig, simulate_dataset
+    from duet_tpu.utils import dispatch
+
+    cfg = SnpCallConfig(device=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        simulate_dataset(tmp, SimConfig(
+            contigs={"a": 30_000, "b": 25_000, "c": 20_000}, seed=13,
+            coverage=8.0))
+        store = load_read_store(os.path.join(tmp, "reads.bam"))
+        fa = FastaFile(os.path.join(tmp, "ref.fa"))
+        refs = {n: fa.fetch_codes(n) for n in fa.contig_names}
+    items = [(c, store.contigs[c], refs[c]) for c in ("a", "b", "c")]
+    expected = {c: call_snps_device(c, cr, ref, cfg) for c, cr, ref in items}
+    dispatch.reset()
+    got = call_snps_device_grouped(items, cfg)
+    assert dispatch.snapshot()["snp_pileup"].get("device", 0) == 1
+    for c in ("a", "b", "c"):
+        np.testing.assert_array_equal(got[c].pos, expected[c].pos, err_msg=c)
+        np.testing.assert_array_equal(got[c].alt_code, expected[c].alt_code)
+        np.testing.assert_array_equal(got[c].is_het, expected[c].is_het)
+        np.testing.assert_array_equal(got[c].depth, expected[c].depth)
+        np.testing.assert_array_equal(got[c].alt_count, expected[c].alt_count)
+        np.testing.assert_array_equal(got[c].ref_code, expected[c].ref_code)
