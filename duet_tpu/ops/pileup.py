@@ -85,11 +85,16 @@ def pileup_call_packed(ops4, payload_ref, *, total: int, length: int,
     ns = payload_ref.shape[0] - length
     payload = payload_ref[:ns]
     ref_codes = payload_ref[ns:]
-    boundary = jnp.cumsum(op_len) - op_len
+    # lane -> op mapping computed ONCE (jnp.repeat would rebuild the same
+    # cumsum+searchsorted chain per call): op k owns lanes
+    # [cum[k]-len[k], cum[k]), so searchsorted(cum, lane, 'right') is the
+    # owning op and everything else is two gathers
+    cum = jnp.cumsum(op_len)
     lane = jnp.arange(total, dtype=jnp.int32)
-    within = lane - jnp.repeat(boundary, op_len, total_repeat_length=total)
-    pos = jnp.repeat(op_ref, op_len, total_repeat_length=total) + within
-    qidx = jnp.repeat(op_q, op_len, total_repeat_length=total) + within
+    seg = jnp.searchsorted(cum, lane, side="right").astype(jnp.int32)
+    within = lane - (cum[seg] - op_len[seg])
+    pos = op_ref[seg] + within
+    qidx = op_q[seg] + within
     p = payload[qidx].astype(jnp.int32)
     base = p & 7
     q = p >> 3
