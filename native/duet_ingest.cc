@@ -42,10 +42,15 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
 #include <vector>
+
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
 
 #include <libdeflate.h>
 
@@ -77,6 +82,69 @@ struct Columns {
   }
 };
 
+// Growable byte buffer on malloc/realloc.  NOT std::vector on purpose:
+// resize() must not zero-fill (the inflate threads overwrite every new
+// byte, and memset's first-touch pass over a multi-GB rolling window is
+// pure kernel time), and growth via realloc lets glibc mremap large
+// windows instead of copying them.  The vector version spent ~100 CPU
+// seconds in kernel page handling decoding a 2 GB BAM on this VM (round-4
+// measurement: wall 87.6s, user 16.5s, sys 105s).
+struct Buf {
+  uint8_t* p = nullptr;
+  size_t n = 0;
+  size_t cap = 0;
+  bool oom = false;
+
+  uint8_t* data() { return p; }
+  const uint8_t* data() const { return p; }
+  size_t size() const { return n; }
+  uint8_t operator[](size_t i) const { return p[i]; }
+#if defined(__linux__)
+  // mmap/mremap-backed on Linux: page-aligned (so MADV_HUGEPAGE actually
+  // applies — a malloc pointer is offset by the chunk header and the
+  // advice EINVALs), and growth remaps instead of copying.  This VM
+  // handles a 4 KB fault in ~60 us (~50x slow), so 2 MB pages are the
+  // difference between ~50 s and ~1 s of kernel time per decoded GB.
+  void resize(size_t m) {
+    if (m > cap) {
+      size_t c = cap ? cap * 2 : (8u << 20);
+      while (c < m) c <<= 1;
+      void* q = p ? mremap(p, cap, c, MREMAP_MAYMOVE)
+                  : mmap(nullptr, c, PROT_READ | PROT_WRITE,
+                         MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+      if (q == MAP_FAILED) { oom = true; return; }
+      p = static_cast<uint8_t*>(q);
+      cap = c;
+      // NOT madvise(MADV_HUGEPAGE): measured on this VM it cut minor
+      // faults 878k -> 16k yet RAISED wall time (31 -> 42 s) — the cost
+      // is the kernel ZEROING fresh anonymous pages, not the fault
+      // count, and 2 MB synchronous zeroing stalls the inflate threads
+      // in bigger chunks.  4 KB pages win here.
+    }
+    n = m;
+  }
+  ~Buf() { if (p) munmap(p, cap); }
+#else
+  void resize(size_t m) {
+    if (m > cap) {
+      size_t c = cap ? cap : (8u << 20);
+      while (c < m) c <<= 1;
+      uint8_t* q = static_cast<uint8_t*>(std::realloc(p, c));
+      if (!q) { oom = true; return; }
+      p = q;
+      cap = c;
+    }
+    n = m;
+  }
+  ~Buf() { std::free(p); }
+#endif
+  void drop_front(size_t k) {  // erase [0, k)
+    if (!k) return;
+    std::memmove(p, p + k, n - k);
+    n -= k;
+  }
+};
+
 struct Reader {
   FILE* f = nullptr;
   bool file_eof = false;
@@ -85,11 +153,11 @@ struct Reader {
   int n_threads = 1;
 
   // rolling compressed window
-  std::vector<uint8_t> comp;
+  Buf comp;
   size_t comp_head = 0;
 
   // rolling inflated window; bytes below `retain` may be reclaimed
-  std::vector<uint8_t> raw;
+  Buf raw;
   size_t scan_pos = 0;   // next unscanned byte
   size_t retain = 0;     // first byte still referenced by pending metas
 
@@ -133,7 +201,7 @@ bool inflate_block(libdeflate_decompressor* d, const uint8_t* src,
 // One complete BGZF member at comp[off..]: returns BSIZE via *bsize and
 // ISIZE via *isize, or false when the member is still incomplete/invalid.
 // *valid is cleared on malformed data (vs merely incomplete).
-bool member_at(const std::vector<uint8_t>& buf, size_t off, uint32_t* bsize,
+bool member_at(const Buf& buf, size_t off, uint32_t* bsize,
                uint32_t* isize, bool* valid) {
   *valid = true;
   const size_t n = buf.size();
@@ -166,12 +234,12 @@ bool member_at(const std::vector<uint8_t>& buf, size_t off, uint32_t* bsize,
 bool refill(Reader* rd) {
   // reclaim consumed prefixes of both rolling buffers
   if (rd->comp_head > rd->comp_compact) {
-    rd->comp.erase(rd->comp.begin(), rd->comp.begin() + rd->comp_head);
+    rd->comp.drop_front(rd->comp_head);
     rd->comp_head = 0;
   }
   size_t keep_from = rd->retain < rd->scan_pos ? rd->retain : rd->scan_pos;
   if (keep_from > rd->raw_compact) {
-    rd->raw.erase(rd->raw.begin(), rd->raw.begin() + keep_from);
+    rd->raw.drop_front(keep_from);
     rd->scan_pos -= keep_from;
     rd->retain -= keep_from;
     // pending metas are offsets into raw: rebase
@@ -201,6 +269,7 @@ bool refill(Reader* rd) {
     }
     if (!members.empty()) {
       rd->raw.resize(out_off);
+      if (rd->raw.oom) { rd->error = "out of memory (inflate window)"; return false; }
       int nt = rd->n_threads < 1 ? 1 : rd->n_threads;
       if (static_cast<size_t>(nt) > members.size()) nt = static_cast<int>(members.size());
       std::vector<int> ok(nt, 1);
@@ -230,6 +299,7 @@ bool refill(Reader* rd) {
     if (rd->file_eof) return false;
     size_t old = rd->comp.size();
     rd->comp.resize(old + kReadChunk);
+    if (rd->comp.oom) { rd->error = "out of memory (compressed window)"; return false; }
     size_t got = std::fread(rd->comp.data() + old, 1, kReadChunk, rd->f);
     rd->comp.resize(old + got);
     if (got == 0) rd->file_eof = true;
