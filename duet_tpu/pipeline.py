@@ -877,10 +877,15 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     import json
 
     snap = dispatch.snapshot()
+    from duet_tpu.utils import devlink
     with open(os.path.join(cfg.output, "metrics.json"), "w") as f:
         json.dump({
             "mode": "streaming",
             "ingest_backend": stream_backend,
+            # the gate decision's evidence, when a probe ran (None = no
+            # accelerator gate decision was pending this run)
+            "h2d_probe_mb_s": round(devlink._cached, 1)
+            if devlink._cached is not None else None,
             "backends": {s: dispatch.backend_label(s, snap)
                          for s in dispatch.STAGES},
             "device_dispatch": snap,
@@ -1012,9 +1017,13 @@ def run_pipeline(cfg: PipelineConfig) -> str:
         # auto device backends are size-gated: inputs below these floors run
         # on the host (bit-identical), because kernel round-trip/compile
         # latency only amortizes on large inputs
+        from duet_tpu.utils import devlink
+
         metrics["device_size_gates"] = {
             "sv_cluster_min_signatures": cfg.sv_cfg().device_min_k,
             "phasing_min_nnz": cfg.phasing_device_min_nnz(),
+            "h2d_probe_mb_s": round(devlink._cached, 1)
+            if devlink._cached is not None else None,
         }
     metrics["counts"]["snp_sites"] = sum(len(s.pos) for s in st.snps.values())
     metrics["counts"]["tagged_reads"] = sum(

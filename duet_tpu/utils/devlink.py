@@ -7,11 +7,16 @@ host sparse scorer wins to at least 4M combined nnz — docs/TPU_RUNS.md
 round-4 multi-launch table), while a PCIe/ICI-attached chip moves
 10-100 GB/s (where the device wins from ~1M nnz, docs/SCALING.md).
 
-The probe ships two 16 MB buffers and keeps the faster one (single
-measurements through the tunnel scatter >20x — CLAUDE.md); the result is
-cached for the process.  Callers only probe when an accelerator backend is
-live and a gate decision is actually pending, so CPU runs and sub-gate
-inputs never pay it.
+The probe ships three 16 MB buffers and keeps the SLOWEST (pessimistic):
+single measurements through the tunnel scatter >20x (CLAUDE.md) and are
+bimodal — a lucky 16 MB put once measured 1.7 GB/s minutes before bulk
+transfers crawled at tens of MB/s, which routed a production run onto the
+device and cost 5x (the first 100 Mb/22x streaming run after the gates
+went link-aware).  A genuinely fast link is fast on every probe; a flaky
+one only has to be slow once to stay on the host, which is the safe side
+of the trade.  The result is cached for the process.  Callers only probe
+when an accelerator backend is live and a gate decision is actually
+pending, so CPU runs and sub-gate inputs never pay it.
 """
 
 from __future__ import annotations
@@ -22,7 +27,8 @@ PROBE_BYTES = 16 * 1024 * 1024
 
 
 def h2d_bandwidth_mb_s() -> float:
-    """Measured host->device bandwidth in MB/s (cached per process)."""
+    """Measured host->device bandwidth in MB/s (cached per process;
+    pessimistic: the slowest of three probes)."""
     global _cached
     if _cached is None:
         import time
@@ -30,11 +36,11 @@ def h2d_bandwidth_mb_s() -> float:
         import jax
         import numpy as np
 
-        best = float("inf")
-        for seed in (0, 1):
+        worst = 0.0
+        for seed in (0, 1, 2):
             buf = np.full(PROBE_BYTES, seed, dtype=np.uint8)
             t0 = time.perf_counter()
             jax.block_until_ready(jax.device_put(buf))
-            best = min(best, time.perf_counter() - t0)
-        _cached = PROBE_BYTES / 1e6 / max(best, 1e-9)
+            worst = max(worst, time.perf_counter() - t0)
+        _cached = PROBE_BYTES / 1e6 / max(worst, 1e-9)
     return _cached
