@@ -117,6 +117,19 @@ def pileup_observations(cr: ContigReads, cfg: SnpCallConfig):
     return positions, cr.seq[qidx], cr.qual[qidx], read_idx
 
 
+def _at_site_obs(cr: ContigReads, cfg: SnpCallConfig, site_pos: np.ndarray):
+    """Observation stream restricted to `site_pos` — native single pass
+    when available, else the python expansion + searchsorted filter."""
+    try:
+        from duet_tpu.io.native_ingest import pileup_obs_native
+
+        obs, _ = pileup_obs_native(cr, cfg.min_mapq, site_pos=site_pos)
+        return obs
+    except Exception:
+        obs = pileup_observations(cr, cfg)
+        return filter_observations_to_sites(*obs, site_pos)
+
+
 def filter_observations_to_sites(positions, bases, quals, read_idx,
                                  site_pos: np.ndarray):
     """Keep only observations landing on `site_pos` (sorted). The SNP stage
@@ -488,6 +501,12 @@ def call_snps_device_grouped(items, cfg: SnpCallConfig,
     `items`: list of (contig, cr, ref_codes); bit-identical to per-contig
     call_snps_device (tests pin it)."""
     out: dict[str, ContigSnps] = {}
+    if cfg.min_base_qual > 31:
+        # the packed payload clips quals at 31; per-contig routing applies
+        # the bit-identical host fallback uniformly
+        for c, cr, ref in items:
+            out[c] = call_snps_device(c, cr, ref, cfg, window)
+        return out
     group: list[tuple] = []
     group_L = 0
     group_bytes = 0
@@ -607,15 +626,7 @@ def call_contig_snps(contig: str, cr: ContigReads, ref_codes: np.ndarray,
         # forced device pileup implements the counting rule; "auto"
         # resolves to it here (the nn is a host/MXU-matmul model)
         snps = call_snps_device(contig, cr, ref_codes, cfg)
-        try:
-            from duet_tpu.io.native_ingest import pileup_obs_native
-
-            site_obs, _ = pileup_obs_native(cr, cfg.min_mapq,
-                                            site_pos=snps.pos)
-        except Exception:
-            obs = pileup_observations(cr, cfg)
-            site_obs = filter_observations_to_sites(*obs, snps.pos)
-        return snps, site_obs
+        return snps, _at_site_obs(cr, cfg, snps.pos)
     if cfg.model in ("counts", "nn", "auto"):
         try:
             from duet_tpu.io.native_ingest import (
@@ -655,17 +666,8 @@ def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
         # take the native at-site pass per contig
         snps_out = call_snps_device_grouped(
             [(c, cr, ref_codes[c]) for c, cr in work], cfg)
-        obs_out = {}
-        for c, cr in work:
-            try:
-                from duet_tpu.io.native_ingest import pileup_obs_native
-
-                obs_out[c], _ = pileup_obs_native(cr, cfg.min_mapq,
-                                                  site_pos=snps_out[c].pos)
-            except Exception:
-                obs = pileup_observations(cr, cfg)
-                obs_out[c] = filter_observations_to_sites(
-                    *obs, snps_out[c].pos)
+        obs_out = {c: _at_site_obs(cr, cfg, snps_out[c].pos)
+                   for c, cr in work}
         return snps_out, obs_out
 
     def one(item):

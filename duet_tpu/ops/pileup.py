@@ -69,9 +69,10 @@ def pileup_call_packed(ops4, payload_ref, *, total: int, length: int,
                                  that); last L bytes: reference codes with
                                  4 = never-call padding
 
-    Expansion is two `jnp.repeat`s with a static total plus a grouped
-    arange — the exact math of the host pileup_observations, so counting
-    is bit-identical.  Padding contract (host side): op rows padded so
+    Expansion is one cumsum+searchsorted lane->op mapping plus gathers
+    over a static `total` — the exact math of the host
+    pileup_observations' grouped arange, so counting is bit-identical.
+    Padding contract (host side): op rows padded so
     cumulative length covers `total` exactly (one tail op with q=0/ref=0
     absorbing the remainder, then zero-length ops); pad lanes are masked
     by `lane < n_real`.  Returns one flat int32 array

@@ -155,9 +155,11 @@ class PipelineConfig:
         gate.  --device-stages on forces the device path at any size."""
         if self.device_stages == "on":
             return 0
-        if not _accelerator_live():
-            # CPU backend: "device" kernels run on the same host anyway;
-            # keep the deterministic fast-link gate and skip the probe
+        if not self.use_device_kernel or self.device_stages == "off" \
+                or not _accelerator_live():
+            # device phasing disabled or no accelerator: the gate is never
+            # consulted (or "device" runs on the same host anyway) — keep
+            # the deterministic fast-link gate and never fire the probe
             return self.PHASING_GATE_FAST_NNZ
         from duet_tpu.utils.devlink import h2d_bandwidth_mb_s
 
@@ -183,7 +185,10 @@ class PipelineConfig:
     def sv_cluster_min_k(self) -> int:
         if self.device_stages == "on":
             return 0
-        if not _accelerator_live():
+        if not self.stages_on_device() or not _accelerator_live():
+            # device clustering disabled or no accelerator: the gate is
+            # never consulted — never fire the probe (a user running
+            # --device-stages off opted out of touching the link)
             return self.SV_GATE_FAST_K
         from duet_tpu.utils.devlink import h2d_bandwidth_mb_s
 

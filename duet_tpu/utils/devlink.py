@@ -21,26 +21,32 @@ pending, so CPU runs and sub-gate inputs never pay it.
 
 from __future__ import annotations
 
+import threading
+
 _cached: float | None = None
+_lock = threading.Lock()
 
 PROBE_BYTES = 16 * 1024 * 1024
 
 
 def h2d_bandwidth_mb_s() -> float:
     """Measured host->device bandwidth in MB/s (cached per process;
-    pessimistic: the slowest of three probes)."""
+    pessimistic: the slowest of three probes).  Serialized under a lock —
+    concurrent probes from a stage thread pool would contend on the link
+    and record the contention as the bandwidth."""
     global _cached
-    if _cached is None:
-        import time
+    with _lock:
+        if _cached is None:
+            import time
 
-        import jax
-        import numpy as np
+            import jax
+            import numpy as np
 
-        worst = 0.0
-        for seed in (0, 1, 2):
-            buf = np.full(PROBE_BYTES, seed, dtype=np.uint8)
-            t0 = time.perf_counter()
-            jax.block_until_ready(jax.device_put(buf))
-            worst = max(worst, time.perf_counter() - t0)
-        _cached = PROBE_BYTES / 1e6 / max(worst, 1e-9)
-    return _cached
+            worst = 0.0
+            for seed in (0, 1, 2):
+                buf = np.full(PROBE_BYTES, seed, dtype=np.uint8)
+                t0 = time.perf_counter()
+                jax.block_until_ready(jax.device_put(buf))
+                worst = max(worst, time.perf_counter() - t0)
+            _cached = PROBE_BYTES / 1e6 / max(worst, 1e-9)
+        return _cached

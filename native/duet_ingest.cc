@@ -95,6 +95,10 @@ struct Buf {
   size_t cap = 0;
   bool oom = false;
 
+  Buf() = default;
+  Buf(const Buf&) = delete;             // owns a raw mapping: copying
+  Buf& operator=(const Buf&) = delete;  // would double-munmap/free
+
   uint8_t* data() { return p; }
   const uint8_t* data() const { return p; }
   size_t size() const { return n; }
