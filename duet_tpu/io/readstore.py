@@ -172,6 +172,51 @@ def stream_contig_reads_auto(bam_path: str, min_mapq: int = 0,
         return gen, "python"
 
 
+def prefetch_iter(gen, depth: int = 1):
+    """Run `gen` on a background thread with a bounded queue: the consumer
+    overlaps with production (the streaming pipeline decodes contig N+1
+    while the stages process contig N — decode and stage compute each take
+    tens of seconds per chromosome, so overlapping hides the smaller).
+    depth=1 bounds extra memory to ONE prefetched item (the streaming
+    pipeline's peak becomes two contigs' columns instead of one).
+    Exceptions from the generator re-raise at the consumer's next pull;
+    abandoning the iterator stops the producer at its next put."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    DONE = object()
+    stop = threading.Event()
+
+    def worker() -> None:
+        try:
+            for item in gen:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(DONE)
+        except BaseException as e:  # surfaced to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def aligned_segments(cr: ContigReads, i: int) -> np.ndarray:
     """Match (M/=/X) segments of read i as rows [ref_start, query_start, length].
 

@@ -804,9 +804,17 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
         stage_s[stage] += time.perf_counter() - t_start
         stage_rss[stage] = max(stage_rss[stage], _peak_rss_mb())
 
+    from duet_tpu.io.readstore import prefetch_iter
+
     stream, stream_backend = stream_contig_reads_auto(
         cfg.bam, n_threads=cfg.threads)
-    log.info("streaming ingest backend: %s", stream_backend)
+    # double-buffer: contig N+1 decodes on a background thread while the
+    # stages process contig N (peak memory becomes two contigs' columns;
+    # the "ingest" stage time below is the residual STALL waiting for
+    # decode, not the full decode wall)
+    stream = prefetch_iter(stream, depth=1)
+    log.info("streaming ingest backend: %s (prefetch depth 1)",
+             stream_backend)
     with StageTimer("STREAMING CONTIG PASS"):
         t_iter = time.perf_counter()
         for cr, contig_lengths in stream:
@@ -829,7 +837,9 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             n_reads += cr.n
             fa_name = aliases[cr.contig] if aliases[cr.contig] in st.ref.index \
                 else cr.contig
+            t = time.perf_counter()
             codes = st.ref.fetch_codes(fa_name)
+            _mark("ingest", t)  # reference load is ingest, not SNP calling
             from duet_tpu.models.snp_caller import call_contig_snps
 
             t = time.perf_counter()

@@ -88,3 +88,27 @@ def test_streaming_metrics_stage_attribution(tmp_path, sim_dataset):
         assert m["stages"][key] >= 0
         assert m["stage_peak_rss_mb"][key] > 0
     assert m["mode"] == "streaming"
+
+
+def test_prefetch_iter_order_and_errors():
+    """prefetch_iter preserves order, re-raises producer exceptions, and
+    stops the producer when abandoned."""
+    import pytest
+
+    from duet_tpu.io.readstore import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(100)))) == list(range(100))
+
+    def boom():
+        yield 1
+        raise ValueError("decode error")
+
+    it = prefetch_iter(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="decode error"):
+        next(it)
+
+    # abandoning mid-stream must not hang on a full queue
+    it2 = prefetch_iter(iter(range(1000)), depth=1)
+    assert next(it2) == 0
+    it2.close()
