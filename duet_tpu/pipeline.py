@@ -810,11 +810,16 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
         cfg.bam, n_threads=cfg.threads)
     # double-buffer: contig N+1 decodes on a background thread while the
     # stages process contig N (peak memory becomes two contigs' columns;
-    # the "ingest" stage time below is the residual STALL waiting for
-    # decode, not the full decode wall)
-    stream = prefetch_iter(stream, depth=1)
-    log.info("streaming ingest backend: %s (prefetch depth 1)",
-             stream_backend)
+    # the "ingest" stage time below is then the residual STALL waiting
+    # for decode, not the full decode wall).  Only with spare cores: on a
+    # 2-vCPU host the decode threads and the CPU-bound stages just
+    # time-slice (measured a wash-to-slight-loss on this VM), while a
+    # production machine hides the smaller of the two entirely.
+    prefetch = (os.cpu_count() or 1) >= 4
+    if prefetch:
+        stream = prefetch_iter(stream, depth=1)
+    log.info("streaming ingest backend: %s%s", stream_backend,
+             " (prefetch depth 1)" if prefetch else "")
     with StageTimer("STREAMING CONTIG PASS"):
         t_iter = time.perf_counter()
         for cr, contig_lengths in stream:
