@@ -163,6 +163,21 @@ def _encode_tags(tags: dict) -> bytes:
 
 class BamReader:
     def __init__(self, path: str):
+        from duet_tpu.io.bgzf import BGZF_EOF
+
+        # a BAM without the spec's 28-byte BGZF EOF marker is truncated —
+        # without this check a file cut at a BGZF member boundary decodes
+        # as a clean-looking PARTIAL dataset (silently dropping the tail).
+        # Checked here (BAM-specific): external plain-gzip VCFs legally
+        # lack the marker and must stay readable through BgzfReader.
+        with open(path, "rb") as fh:
+            fh.seek(0, 2)
+            if fh.tell() < len(BGZF_EOF):
+                raise ValueError(f"{path}: truncated BAM (too short)")
+            fh.seek(-len(BGZF_EOF), 2)
+            if fh.read(len(BGZF_EOF)) != BGZF_EOF:
+                raise ValueError(
+                    f"{path}: truncated BAM: missing BGZF EOF marker")
         self._r = BgzfReader(path)
         magic = self._r.read(4)
         if magic != b"BAM\x01":

@@ -467,6 +467,14 @@ void decode_columns(Reader* rd, uint8_t* name_bytes, int8_t* cigar_ops,
 
 extern "C" {
 
+// the spec's 28-byte BGZF EOF marker; a BAM without it is truncated —
+// without this check a file cut at a BGZF member boundary decodes as a
+// clean-looking PARTIAL dataset (silently dropping the tail)
+constexpr uint8_t kBgzfEof[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+    0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+
 void* duet_bam_open(const char* path, int min_mapq, int n_threads) {
   auto* rd = new Reader();
   rd->min_mapq = min_mapq;
@@ -476,6 +484,14 @@ void* duet_bam_open(const char* path, int min_mapq, int n_threads) {
     rd->error = "cannot read file";
     return rd;
   }
+  uint8_t tail[28];
+  if (std::fseek(rd->f, -28, SEEK_END) != 0 ||
+      std::fread(tail, 1, 28, rd->f) != 28 ||
+      std::memcmp(tail, kBgzfEof, 28) != 0) {
+    rd->error = "truncated BAM: missing BGZF EOF marker";
+    return rd;
+  }
+  std::fseek(rd->f, 0, SEEK_SET);
   parse_header(rd);
   return rd;
 }

@@ -344,3 +344,28 @@ def test_candidate_scan_matches_numpy():
     np.testing.assert_array_equal(alt_code, sub.argmax(axis=1))
     np.testing.assert_array_equal(alt_count, counts[cand, sub.argmax(axis=1)])
     np.testing.assert_array_equal(depth, depth_all[cand])
+
+
+def test_truncation_sweep_raises_never_silent(tmp_path, sim_dataset):
+    """A BAM truncated at ANY byte offset (mid-header, mid-member, at a
+    member boundary, mid-EOF-marker) raises ValueError on BOTH decoders —
+    a cut at a BGZF member boundary must not decode as a clean-looking
+    partial dataset."""
+    from duet_tpu.io.readstore import load_read_store
+
+    out, _, _ = sim_dataset
+    data = open(f"{out}/reads.bam", "rb").read()
+    # include a cut exactly at the EOF-marker boundary (silent-partial
+    # candidate) plus assorted interior offsets
+    cuts = [200, len(data) // 3, len(data) // 2, len(data) - 28,
+            len(data) - 5]
+    for cut in cuts:
+        p = tmp_path / f"t{cut}.bam"
+        p.write_bytes(data[:cut])
+        with pytest.raises(ValueError):
+            from duet_tpu.io.native_ingest import stream_read_store_native
+
+            for _ in stream_read_store_native(str(p)):
+                pass
+        with pytest.raises(ValueError):
+            load_read_store(str(p))
