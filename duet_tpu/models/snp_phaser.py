@@ -41,6 +41,7 @@ from duet_tpu.models.snp_caller import ContigSnps, SnpCallConfig, pileup_observa
 
 PC_PER_MARGIN = 10   # phred-like scale: PC = 10 * quality-weighted margin
 PC_MAX = 8100        # cap = the decision stage's evidence cut
+REFINE_CORRECT_ROUNDS = 4  # refine<->switch-correct fixed-point cap
 
 
 @dataclass
@@ -810,7 +811,7 @@ def phase_contig_core(cr: ContigReads, snps: ContigSnps,
     # point: a correction exposes new majority flips and vice versa (one
     # round leaves fixable switch errors behind at low coverage)
     phase = refine(am, phase, block_id, sweeps)
-    for _ in range(4):
+    for _ in range(REFINE_CORRECT_ROUNDS):
         corrected = _switch_correct(am, phase, block_id)
         changed = bool(np.any(corrected != phase))
         phase = refine(am, corrected, block_id, sweeps)
