@@ -50,9 +50,22 @@ class FastaFile:
         return self.index[name][0]
 
     def fetch_codes(self, name: str) -> np.ndarray:
-        """Whole contig as uint8 base codes (cached)."""
+        """Whole contig as uint8 base codes (cached).  Native one-pass
+        reader when the C++ library is available (the numpy path below
+        makes ~4 passes over the raw bytes — seconds per 100 Mb on a
+        slow-memory host); bit-identical, pinned by tests."""
         if name not in self._cache:
             length, offset, linebases, linewidth = self.index[name]
+            try:
+                from duet_tpu.io.native_ingest import fasta_codes_native
+
+                self._cache[name] = fasta_codes_native(
+                    self.path, offset, length, linebases, linewidth)
+                return self._cache[name]
+            except ValueError:
+                raise  # real file problem: both paths must fail loudly
+            except Exception:
+                pass  # library unavailable: numpy fallback below
             nlines = (length + linebases - 1) // linebases
             nbytes = length + nlines * (linewidth - linebases)
             with open(self.path, "rb") as f:

@@ -850,4 +850,44 @@ int64_t duet_candidate_scan(const int32_t* counts, const uint8_t* ref_codes,
   return total;
 }
 
+// FASTA contig -> base codes in ONE pass: read the contig's byte span
+// (per the .fai layout: `length` bases in lines of `linebases` bases /
+// `linewidth` bytes) straight through an A/C/G/T lookup into `out`,
+// skipping the line terminators positionally.  The numpy path reshapes,
+// slices, concatenates and gathers — four passes over hundreds of MB at
+// chromosome scale on a slow-memory host.  Returns 0 on success.
+int32_t duet_fasta_codes(const char* path, int64_t offset, int64_t length,
+                         int64_t linebases, int64_t linewidth, uint8_t* out) {
+  static uint8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    std::memset(lut, 4, sizeof(lut));
+    lut['A'] = 0; lut['a'] = 0;
+    lut['C'] = 1; lut['c'] = 1;
+    lut['G'] = 2; lut['g'] = 2;
+    lut['T'] = 3; lut['t'] = 3;
+    init = true;
+  }
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  if (std::fseek(f, static_cast<long>(offset), SEEK_SET) != 0) {
+    std::fclose(f);
+    return -1;
+  }
+  std::vector<uint8_t> buf(1u << 20);
+  int64_t done = 0;       // bases emitted
+  int64_t line_pos = 0;   // byte position within the current line
+  while (done < length) {
+    size_t got = std::fread(buf.data(), 1, buf.size(), f);
+    if (got == 0) { std::fclose(f); return -2; }  // truncated FASTA
+    for (size_t i = 0; i < got && done < length; ++i) {
+      if (line_pos < linebases) out[done++] = lut[buf[i]];
+      ++line_pos;
+      if (line_pos == linewidth) line_pos = 0;
+    }
+  }
+  std::fclose(f);
+  return 0;
+}
+
 }  // extern "C"

@@ -369,3 +369,41 @@ def test_truncation_sweep_raises_never_silent(tmp_path, sim_dataset):
                 pass
         with pytest.raises(ValueError):
             load_read_store(str(p))
+
+
+def test_native_fasta_codes_matches_numpy(tmp_path):
+    """One-pass native FASTA decode == the numpy path, including lowercase,
+    N/ambiguity codes, a short final line, and multiple contigs."""
+    from duet_tpu.io.fasta import FastaFile, write_fasta
+    from duet_tpu.io.native_ingest import fasta_codes_native
+
+    rng = np.random.default_rng(17)
+    contigs = {
+        "c1": "".join(rng.choice(list("ACGTacgtNnRY"), size=257)),
+        "c2": "".join(rng.choice(list("ACGT"), size=70)),   # exact one line
+        "c3": "".join(rng.choice(list("acgt"), size=1403)),
+    }
+    path = str(tmp_path / "ref.fa")
+    write_fasta(path, contigs, line_width=70)
+    fa = FastaFile(path)
+    for name in contigs:
+        length, offset, linebases, linewidth = fa.index[name]
+        nat = fasta_codes_native(path, offset, length, linebases, linewidth)
+        # numpy reference path, inlined from FastaFile.fetch_codes
+        from duet_tpu.io.fasta import BASE_TO_CODE
+
+        with open(path, "rb") as f:
+            f.seek(offset)
+            nlines = (length + linebases - 1) // linebases
+            raw = f.read(length + nlines * (linewidth - linebases))
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        full = length // linebases
+        body = arr[: full * linewidth].reshape(full, linewidth)[:, :linebases].reshape(-1)
+        tail = arr[full * linewidth: full * linewidth + (length - full * linebases)]
+        ref = BASE_TO_CODE[(np.concatenate([body, tail]) if len(tail) else body)[:length]]
+        np.testing.assert_array_equal(nat, ref, err_msg=name)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="FASTA read failed"):
+        fasta_codes_native(path, 10**9, 100, 70, 71)  # past EOF
