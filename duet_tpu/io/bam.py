@@ -170,14 +170,33 @@ class BamReader:
         # as a clean-looking PARTIAL dataset (silently dropping the tail).
         # Checked here (BAM-specific): external plain-gzip VCFs legally
         # lack the marker and must stay readable through BgzfReader.
+        # Legacy writers that omit the (optional-per-spec) marker can be
+        # accepted explicitly with DUET_TPU_ALLOW_NO_BGZF_EOF=1 — a
+        # warning replaces the error (htslib's behavior).
+        import os as _os
+
         with open(path, "rb") as fh:
             fh.seek(0, 2)
-            if fh.tell() < len(BGZF_EOF):
-                raise ValueError(f"{path}: truncated BAM (too short)")
-            fh.seek(-len(BGZF_EOF), 2)
-            if fh.read(len(BGZF_EOF)) != BGZF_EOF:
+            too_short = fh.tell() < len(BGZF_EOF)
+            if not too_short:
+                fh.seek(-len(BGZF_EOF), 2)
+                missing = fh.read(len(BGZF_EOF)) != BGZF_EOF
+            else:
+                missing = True
+        if missing:
+            if _os.environ.get("DUET_TPU_ALLOW_NO_BGZF_EOF") == "1" \
+                    and not too_short:
+                import logging
+
+                logging.getLogger("duet_tpu").warning(
+                    "%s: no BGZF EOF marker (legacy writer?); proceeding "
+                    "per DUET_TPU_ALLOW_NO_BGZF_EOF=1 — a truncated file "
+                    "would decode PARTIALLY", path)
+            else:
                 raise ValueError(
-                    f"{path}: truncated BAM: missing BGZF EOF marker")
+                    f"{path}: truncated BAM: missing BGZF EOF marker "
+                    "(set DUET_TPU_ALLOW_NO_BGZF_EOF=1 to accept legacy "
+                    "writers that omit it)")
         self._r = BgzfReader(path)
         magic = self._r.read(4)
         if magic != b"BAM\x01":

@@ -173,35 +173,44 @@ def stream_contig_reads_auto(bam_path: str, min_mapq: int = 0,
 
 
 def prefetch_iter(gen, depth: int = 1):
-    """Run `gen` on a background thread with a bounded queue: the consumer
-    overlaps with production (the streaming pipeline decodes contig N+1
-    while the stages process contig N — decode and stage compute each take
-    tens of seconds per chromosome, so overlapping hides the smaller).
-    depth=1 bounds extra memory to ONE prefetched item (the streaming
-    pipeline's peak becomes two contigs' columns instead of one).
-    Exceptions from the generator re-raise at the consumer's next pull;
-    abandoning the iterator stops the producer at its next put."""
+    """Run `gen` on a background thread: the consumer overlaps with
+    production (the streaming pipeline decodes contig N+1 while the
+    stages process contig N — decode and stage compute each take tens of
+    seconds per chromosome, so overlapping hides the smaller).
+
+    depth=1 bounds LIVE items to exactly two (one being consumed + one
+    decoded/queued): the producer must reserve a slot BEFORE decoding the
+    next item — gating the queue alone would let a third item
+    materialize inside the generator while the queue is full.  The queue
+    itself is unbounded (capacity is the semaphore), so the terminal
+    DONE/exception puts can never block: abandoning the iterator always
+    stops the producer.  Exceptions from the generator re-raise at the
+    consumer's next pull."""
     import queue
     import threading
 
-    q: queue.Queue = queue.Queue(maxsize=depth)
+    q: queue.Queue = queue.Queue()
+    slots = threading.Semaphore(depth)
     DONE = object()
     stop = threading.Event()
 
     def worker() -> None:
-        try:
-            for item in gen:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+        it = iter(gen)
+        while True:
+            while not slots.acquire(timeout=0.5):  # slot BEFORE decoding
                 if stop.is_set():
                     return
-            q.put(DONE)
-        except BaseException as e:  # surfaced to the consumer
-            q.put(e)
+            if stop.is_set():
+                return
+            try:
+                item = next(it)
+            except StopIteration:
+                q.put(DONE)
+                return
+            except BaseException as e:  # surfaced to the consumer
+                q.put(e)
+                return
+            q.put(item)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -212,6 +221,7 @@ def prefetch_iter(gen, depth: int = 1):
                 break
             if isinstance(item, BaseException):
                 raise item
+            slots.release()  # freed by taking it off the queue
             yield item
     finally:
         stop.set()

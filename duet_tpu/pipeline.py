@@ -815,7 +815,11 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     # 2-vCPU host the decode threads and the CPU-bound stages just
     # time-slice (measured a wash-to-slight-loss on this VM), while a
     # production machine hides the smaller of the two entirely.
-    prefetch = (os.cpu_count() or 1) >= 4
+    try:
+        n_cores = len(os.sched_getaffinity(0))  # honors cgroup/taskset
+    except AttributeError:  # non-Linux
+        n_cores = os.cpu_count() or 1
+    prefetch = n_cores >= 4
     if prefetch:
         stream = prefetch_iter(stream, depth=1)
     log.info("streaming ingest backend: %s%s", stream_backend,

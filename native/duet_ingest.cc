@@ -488,8 +488,16 @@ void* duet_bam_open(const char* path, int min_mapq, int n_threads) {
   if (std::fseek(rd->f, -28, SEEK_END) != 0 ||
       std::fread(tail, 1, 28, rd->f) != 28 ||
       std::memcmp(tail, kBgzfEof, 28) != 0) {
-    rd->error = "truncated BAM: missing BGZF EOF marker";
-    return rd;
+    // legacy writers that omit the (optional-per-spec) marker can be
+    // accepted explicitly; default is a hard error because a file cut at
+    // a member boundary otherwise decodes as a clean-looking PARTIAL set
+    const char* allow = std::getenv("DUET_TPU_ALLOW_NO_BGZF_EOF");
+    if (!(allow && std::strcmp(allow, "1") == 0)) {
+      rd->error = "truncated BAM: missing BGZF EOF marker "
+                  "(set DUET_TPU_ALLOW_NO_BGZF_EOF=1 to accept legacy "
+                  "writers that omit it)";
+      return rd;
+    }
   }
   std::fseek(rd->f, 0, SEEK_SET);
   parse_header(rd);

@@ -407,3 +407,24 @@ def test_native_fasta_codes_matches_numpy(tmp_path):
 
     with pytest.raises(ValueError, match="FASTA read failed"):
         fasta_codes_native(path, 10**9, 100, 70, 71)  # past EOF
+
+
+def test_missing_eof_marker_escape_hatch(tmp_path, sim_dataset, monkeypatch):
+    """DUET_TPU_ALLOW_NO_BGZF_EOF=1 accepts a marker-less (legacy-writer)
+    BAM on both decoders; without it both raise."""
+    from duet_tpu.io.bam import BamReader
+    from duet_tpu.io.native_ingest import stream_read_store_native
+
+    out, _, _ = sim_dataset
+    data = open(f"{out}/reads.bam", "rb").read()
+    legacy = tmp_path / "legacy.bam"
+    legacy.write_bytes(data[:-28])  # strip only the EOF marker
+    with pytest.raises(ValueError, match="EOF marker"):
+        BamReader(str(legacy))
+    with pytest.raises(ValueError, match="EOF marker"):
+        list(stream_read_store_native(str(legacy)))
+    monkeypatch.setenv("DUET_TPU_ALLOW_NO_BGZF_EOF", "1")
+    n_py = sum(1 for _ in BamReader(str(legacy)))
+    n_nat = sum(cr.n for cr, _ in stream_read_store_native(str(legacy)))
+    n_ref = sum(cr.n for cr, _ in stream_read_store_native(f"{out}/reads.bam"))
+    assert n_nat == n_ref and n_py >= n_nat  # python iter incl. filtered

@@ -112,3 +112,39 @@ def test_prefetch_iter_order_and_errors():
     it2 = prefetch_iter(iter(range(1000)), depth=1)
     assert next(it2) == 0
     it2.close()
+
+
+def test_prefetch_bounds_live_items():
+    """depth=1 means at most TWO items exist at once (one consumed + one
+    decoded/queued): the producer reserves a slot BEFORE decoding, so a
+    third item can never materialize inside the generator."""
+    import threading
+    import time
+
+    from duet_tpu.io.readstore import prefetch_iter
+
+    live: list = []
+    peak = [0]
+    lock = threading.Lock()
+
+    class Item:
+        def __init__(self):
+            with lock:
+                live.append(self)
+                peak[0] = max(peak[0], len(live))
+
+        def done(self):
+            with lock:
+                live.remove(self)
+
+    def gen():
+        for _ in range(6):
+            yield Item()
+
+    n = 0
+    for item in prefetch_iter(gen(), depth=1):
+        time.sleep(0.03)  # slow consumer: producer runs ahead if it can
+        item.done()
+        n += 1
+    assert n == 6
+    assert peak[0] <= 2, f"{peak[0]} items were live simultaneously"
