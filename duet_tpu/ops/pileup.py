@@ -86,13 +86,18 @@ def pileup_call_packed(ops4, payload_ref, *, total: int, length: int,
     ns = payload_ref.shape[0] - length
     payload = payload_ref[:ns]
     ref_codes = payload_ref[ns:]
-    # lane -> op mapping computed ONCE (jnp.repeat would rebuild the same
-    # cumsum+searchsorted chain per call): op k owns lanes
-    # [cum[k]-len[k], cum[k]), so searchsorted(cum, lane, 'right') is the
-    # owning op and everything else is two gathers
+    # lane -> op mapping computed ONCE and CHEAPLY: mark each op's first
+    # lane with a K-element scatter-add (duplicates from zero-length ops
+    # stack; the out-of-bounds pad-op starts drop per XLA scatter
+    # semantics), then a cumsum over the lanes yields the owning op id.
+    # A searchsorted mapping was measured ~4 s slower at 33M lanes (17
+    # binary-search steps x 33M gathers vs one small scatter + one
+    # cumsum), and K-element scatters are tiny even at TPU's serialized
+    # scatter rate.
     cum = jnp.cumsum(op_len)
     lane = jnp.arange(total, dtype=jnp.int32)
-    seg = jnp.searchsorted(cum, lane, side="right").astype(jnp.int32)
+    marks = jnp.zeros(total, jnp.int32).at[cum - op_len].add(1, mode="drop")
+    seg = jnp.cumsum(marks) - 1
     within = lane - (cum[seg] - op_len[seg])
     pos = op_ref[seg] + within
     qidx = op_q[seg] + within
