@@ -14,9 +14,19 @@ transfers crawled at tens of MB/s, which routed a production run onto the
 device and cost 5x (the first 100 Mb/22x streaming run after the gates
 went link-aware).  A genuinely fast link is fast on every probe; a flaky
 one only has to be slow once to stay on the host, which is the safe side
-of the trade.  The result is cached for the process.  Callers only probe
-when an accelerator backend is live and a gate decision is actually
-pending, so CPU runs and sub-gate inputs never pay it.
+of the trade.
+
+The FIRST probe deliberately includes backend/connection setup (no
+discarded warmup put): a link whose first operation takes seconds is not
+a fast link for gating purposes — this tunnel's first put measured
+2 MB/s minutes after sustained puts measured 1.1 GB/s, and a 1 KB put
+once STALLED for >5 minutes.  Per-operation latency/jitter, which the
+setup-inclusive probe captures, is what actually predicted the measured
+5-60x device-path losses here; steady-state bandwidth alone did not.
+
+The result is cached for the process.  Callers only probe when an
+accelerator backend is live and a gate decision is actually pending, so
+CPU runs and sub-gate inputs never pay it.
 """
 
 from __future__ import annotations
