@@ -62,6 +62,19 @@ def host_reference(alleles, weights, phase0, onehot, sweeps=2):
     return signed, rest
 
 
+def _tunnel_probe() -> float:
+    """One 32 MB h2d put, MB/s.  The tunneled chip's throughput varies >20x
+    between runs (CLAUDE.md), so every measurement block records the
+    weather it ran under — numbers are only comparable same-weather."""
+    import jax
+
+    probe = np.random.default_rng(0).standard_normal(
+        8 * 1024 * 1024).astype(np.float32)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(probe))
+    return round(probe.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+
+
 def bench_kernel(quick: bool) -> dict:
     import jax
     import jax.numpy as jnp
@@ -70,17 +83,38 @@ def bench_kernel(quick: bool) -> dict:
 
     R, S, B = (8192, 1024, 16) if quick else (32768, 4096, 64)
     iters = 5 if quick else 20
+    probe_mb_s = _tunnel_probe()
     batch = make_batch(R, S, B, density=0.05)
     dev_args = [jax.device_put(a) for a in batch]
+    iter_stats: dict[str, float] = {}
 
     def time_dev(fn):
         out = fn()  # compile + warmup
         jax.block_until_ready(jax.tree.leaves(out))
+        # headline: pipelined dispatch, one final sync (same methodology as
+        # every prior round — per-iter syncs would charge a tunnel
+        # round-trip to each iteration)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
         jax.block_until_ready(jax.tree.leaves(out))
-        return (time.perf_counter() - t0) / iters
+        mean = (time.perf_counter() - t0) / iters
+        # diagnostics: a second, per-iteration-synced loop whose spread IS
+        # the tunnel jitter, recorded next to the headline (VERDICT r4
+        # weak #6 — the r3->r4 26% kernel delta had no context on record)
+        ts = []
+        for _ in range(min(iters, 8)):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.tree.leaves(fn()))
+            ts.append(time.perf_counter() - t0)
+        if not iter_stats or mean < iter_stats["iter_mean_s"]:
+            iter_stats.update(
+                iter_mean_s=mean,
+                synced_iter_mean_s=float(np.mean(ts)),
+                synced_iter_std_s=float(np.std(ts)),
+                synced_iter_min_s=float(np.min(ts)),
+                synced_iter_max_s=float(np.max(ts)))
+        return mean
 
     dev_s = time_dev(lambda: phase_and_tag(*dev_args, sweeps=2))
     # fully fused Pallas path (single-pass HBM traffic); keep whichever
@@ -113,6 +147,10 @@ def bench_kernel(quick: bool) -> dict:
         "baseline": "numpy float32 on this host CPU (same computation, "
                     "single process); the reference CPU pipeline is not "
                     "installable here",
+        # weather context for the kernel number itself: the h2d probe this
+        # block ran under plus per-iteration spread (synced loop)
+        "kernel_tunnel_probe_mb_s": probe_mb_s,
+        "kernel_iter_stats": {k: round(v, 6) for k, v in iter_stats.items()},
     }
 
 
@@ -135,15 +173,9 @@ def bench_e2e(megabases: float, device_stages: str = "auto") -> dict:
     from duet_tpu.pipeline import PipelineConfig, run_pipeline
     from duet_tpu.sim import SimConfig, simulate_dataset
 
-    # host->device bandwidth probe: the tunneled chip's throughput varies
-    # >20x between runs (CLAUDE.md), so every e2e block records the
-    # weather it ran under — a forced-device number is only interpretable
-    # next to this
-    probe = np.random.default_rng(0).standard_normal(
-        8 * 1024 * 1024).astype(np.float32)
-    t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(probe))
-    probe_mb_s = round(probe.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+    # host->device bandwidth probe: a forced-device number is only
+    # interpretable next to the weather it ran under
+    probe_mb_s = _tunnel_probe()
 
     n_contigs = max(int(round(megabases)), 1)
     contigs = {f"chr{i + 1}": 1_000_000 for i in range(n_contigs)}
@@ -204,6 +236,10 @@ def bench_e2e(megabases: float, device_stages: str = "auto") -> dict:
         "ingest_share_of_warm": round(ingest_s / totals["warm"], 3),
         "backends": m.get("backends", {}),
         "device_dispatch": m.get("device_dispatch", {}),
+        # per-stage transfer/compute/readback seconds from the warm run
+        # (utils.devcost): splits e.g. a slow snp_calling into h2d_s vs
+        # compute_s in the artifact itself (VERDICT r4 weak #1)
+        "device_cost": m.get("device_cost", {}),
         "phased_calls": n_calls,
     }
     if decode_s is not None:

@@ -282,7 +282,7 @@ def cluster_multi(svtype, pos, length, read_idx, linkage: int, md_by_type,
     return contract as cluster_host_multi.  Device shapes are padded to a
     power of two with a 2048 floor so nearly every contig shares one
     compiled program."""
-    from duet_tpu.utils import dispatch
+    from duet_tpu.utils import devcost, dispatch
 
     k = len(pos)
     if k == 0:
@@ -304,22 +304,24 @@ def cluster_multi(svtype, pos, length, read_idx, linkage: int, md_by_type,
     tt[:k] = np.asarray(svtype)[order]
     vv = np.zeros(pad_to, dtype=bool)
     vv[:k] = True
-    out = cluster_device_multi(
-        jnp.asarray(tt), jnp.asarray(pp), jnp.asarray(ll), jnp.asarray(rr),
-        jnp.asarray(vv), linkage, jnp.asarray(md_by_type, jnp.int32),
-        jnp.int32(cmd_num), jnp.int32(cmd_den))
-    is_seg = np.asarray(out["is_seg"])
+    dev = devcost.put("sv_cluster", tt, pp, ll, rr, vv,
+                      np.asarray(md_by_type, np.int32))
+    out = devcost.run(
+        "sv_cluster", lambda: cluster_device_multi(
+            dev[0], dev[1], dev[2], dev[3], dev[4], linkage, dev[5],
+            jnp.int32(cmd_num), jnp.int32(cmd_den)))
+    is_seg = devcost.get("sv_cluster", out["is_seg"])
     sel = np.flatnonzero(is_seg)
-    seg_sorted = np.asarray(out["seg_of_sorted"])
+    seg_sorted = devcost.get("sv_cluster", out["seg_of_sorted"])
     seg_of_input = np.empty(k, dtype=np.int64)
     seg_of_input[order] = seg_sorted[:k]
     return (
-        np.asarray(out["call_pos"])[sel],
-        np.asarray(out["call_len"])[sel],
-        np.asarray(out["support"])[sel],
-        np.asarray(out["count"])[sel],
+        devcost.get("sv_cluster", out["call_pos"])[sel],
+        devcost.get("sv_cluster", out["call_len"])[sel],
+        devcost.get("sv_cluster", out["support"])[sel],
+        devcost.get("sv_cluster", out["count"])[sel],
         seg_of_input,
-        np.asarray(out["call_type"])[sel],
+        devcost.get("sv_cluster", out["call_type"])[sel],
     )
 
 

@@ -29,25 +29,6 @@ PC_MAX = 8100
 _PC_PAD = np.int32(2**30)
 
 
-def pack_device_inputs(packed) -> dict:
-    """PackedCalls (models.sv_phaser) -> int32 device arrays."""
-    if packed.tagged.shape[1] > MAX_SLOTS_EXACT:
-        raise ValueError(
-            f"support-read slots {packed.tagged.shape[1]} > {MAX_SLOTS_EXACT}: "
-            "int32 exactness bound exceeded; use the host path"
-        )
-    return {
-        "pos": jnp.asarray(packed.pos, jnp.int32),
-        "svread": jnp.asarray(packed.svread, jnp.int32),
-        "refread": jnp.asarray(packed.refread, jnp.int32),
-        "n_slots": jnp.asarray(packed.n_slots, jnp.int32),
-        "hap": jnp.asarray(packed.hap, jnp.int32),
-        "ps": jnp.asarray(packed.ps, jnp.int32),
-        "pc": jnp.asarray(np.minimum(packed.pc, _PC_PAD), jnp.int32),
-        "tagged": jnp.asarray(packed.tagged),
-    }
-
-
 def _regime(tagged, ps):
     """0/1/2 distinct phase sets among tagged reads (no pc cut)."""
     p = jnp.where(tagged, ps, -1)
@@ -175,8 +156,16 @@ def phase_decide_packed(packed, oneps_sorted: np.ndarray):
     one compiled program serves many chromosomes/runs: padded calls carry no
     support and are dropped after unpadding; padded slots are untagged;
     padded anchors repeat the last value (duplicates change nothing in the
-    membership test or the nearest-anchor search)."""
-    dev = pack_device_inputs(packed)
+    membership test or the nearest-anchor search).  Padding happens
+    host-side so the staged device_put (utils.devcost) times the real
+    transfer; the put/run/get split lands in metrics' device_cost."""
+    from duet_tpu.utils import devcost
+
+    if packed.tagged.shape[1] > MAX_SLOTS_EXACT:
+        raise ValueError(
+            f"support-read slots {packed.tagged.shape[1]} > "
+            f"{MAX_SLOTS_EXACT}: int32 exactness bound exceeded; use the "
+            "host path")
     n, S = packed.tagged.shape
     n_pad = _pow2(n)
     s_pad = min(_pow2(S), MAX_SLOTS_EXACT)
@@ -184,19 +173,23 @@ def phase_decide_packed(packed, oneps_sorted: np.ndarray):
         s_pad = S  # exactness bound wins over bucketing
     a_pad = _pow2(len(oneps_sorted), floor=4)
 
-    def pad1(x, fill):
-        return jnp.pad(x, (0, n_pad - n), constant_values=fill)
+    def pad1(x, fill, dtype=np.int32):
+        return np.pad(np.asarray(x, dtype), (0, n_pad - n),
+                      constant_values=fill)
 
-    def pad2(x, fill):
-        return jnp.pad(x, ((0, n_pad - n), (0, s_pad - S)), constant_values=fill)
+    def pad2(x, fill, dtype=np.int32):
+        return np.pad(np.asarray(x, dtype), ((0, n_pad - n), (0, s_pad - S)),
+                      constant_values=fill)
 
     oneps = np.asarray(oneps_sorted, np.int32)
     oneps = np.pad(oneps, (0, a_pad - len(oneps)), mode="edge")
-    pred, ps = phase_decide(
-        pad1(dev["pos"], 0), pad1(dev["svread"], 0), pad1(dev["refread"], 1),
-        pad1(dev["n_slots"], 1),
-        pad2(dev["hap"], 0), pad2(dev["ps"], -1), pad2(dev["pc"], _PC_PAD),
-        pad2(dev["tagged"], False),
-        jnp.asarray(oneps),
-    )
-    return np.asarray(pred)[:n], np.asarray(ps)[:n]
+    dev = devcost.put(
+        "sv_decide",
+        pad1(packed.pos, 0), pad1(packed.svread, 0),
+        pad1(packed.refread, 1), pad1(packed.n_slots, 1),
+        pad2(packed.hap, 0), pad2(packed.ps, -1),
+        pad2(np.minimum(packed.pc, _PC_PAD), _PC_PAD),
+        pad2(packed.tagged, False, dtype=bool), oneps)
+    pred, ps = devcost.run("sv_decide", lambda: phase_decide(*dev))
+    return (devcost.get("sv_decide", pred)[:n],
+            devcost.get("sv_decide", ps)[:n])

@@ -80,7 +80,7 @@ def _refine(row, col, av, phase0, covered, sweeps: int, n_reads: int,
 def power_refine_device(am, phase: np.ndarray, block_id: np.ndarray,
                         sweeps: int = 2) -> np.ndarray:
     """Drop-in device twin of models.snp_phaser._power_refine."""
-    from duet_tpu.utils import dispatch
+    from duet_tpu.utils import devcost, dispatch
 
     nnz = len(am.row)
     if nnz == 0 or am.n_sites == 0:
@@ -99,10 +99,11 @@ def power_refine_device(am, phase: np.ndarray, block_id: np.ndarray,
     phase_pad[:am.n_sites] = phase
     covered = np.zeros(n_sites, dtype=bool)
     covered[:am.n_sites] = block_id >= 0
-    out = _refine(jnp.asarray(row), jnp.asarray(col), jnp.asarray(av),
-                  jnp.asarray(phase_pad), jnp.asarray(covered),
-                  sweeps, n_reads, n_sites)
-    return np.sign(np.asarray(out)[:am.n_sites]).astype(np.int8)
+    dev = devcost.put("phase_refine", row, col, av, phase_pad, covered)
+    out = devcost.run("phase_refine",
+                      lambda: _refine(*dev, sweeps, n_reads, n_sites))
+    return np.sign(
+        devcost.get("phase_refine", out)[:am.n_sites]).astype(np.int8)
 
 
 SLOT_K = 8       # per-read relative block slots (reads spanning more fall back)
@@ -195,7 +196,7 @@ def haplotag_score_sparse_multi(items):
     Returns a list of (hap, pc, best_block, overflow) per item with
     best_block re-based to the item's own block table.  Raises ValueError
     past the int32-exactness bound — callers split batches below it."""
-    from duet_tpu.utils import dispatch
+    from duet_tpu.utils import devcost, dispatch
 
     tot_nnz = sum(len(it[0].row) for it in items)
     if tot_nnz > INT32_EXACT_NNZ:
@@ -229,13 +230,13 @@ def haplotag_score_sparse_multi(items):
         b_off += int(block_id.max()) + 1 if len(block_id) else 0
         z += k
     dispatch.record("haplotag", "device")
-    hap, pc, best, ovf = _score(
-        jnp.asarray(row), jnp.asarray(col), jnp.asarray(av),
-        jnp.asarray(phase_pad), jnp.asarray(blk_pad), n_reads, n_sites)
-    hap = np.asarray(hap)
-    pc = np.asarray(pc)
-    best = np.asarray(best)
-    ovf = np.asarray(ovf)
+    dev = devcost.put("haplotag", row, col, av, phase_pad, blk_pad)
+    hap, pc, best, ovf = devcost.run(
+        "haplotag", lambda: _score(*dev, n_reads, n_sites))
+    hap = devcost.get("haplotag", hap)
+    pc = devcost.get("haplotag", pc)
+    best = devcost.get("haplotag", best)
+    ovf = devcost.get("haplotag", ovf)
     return [
         (hap[r0:r0 + nr].astype(np.int8), pc[r0:r0 + nr],
          best[r0:r0 + nr] - b0, ovf[r0:r0 + nr])
@@ -250,7 +251,7 @@ def haplotag_score_sparse(am, phase: np.ndarray, block_id: np.ndarray):
     am.n_reads; `overflow` marks reads whose observations span more than
     SLOT_K phase-set blocks — score those on the host.  best_block indexes
     block_ps (caller maps to PS and applies `overflow`/`tagged`)."""
-    from duet_tpu.utils import dispatch
+    from duet_tpu.utils import devcost, dispatch
 
     nnz = len(am.row)
     n_reads = _pow2(am.n_reads)
@@ -269,9 +270,11 @@ def haplotag_score_sparse(am, phase: np.ndarray, block_id: np.ndarray):
     phase_pad[:am.n_sites] = phase
     blk_pad = np.zeros(n_sites + 1, dtype=np.int32)
     blk_pad[:am.n_sites] = block_id
-    hap, pc, best, overflow = _score(
-        jnp.asarray(row), jnp.asarray(col), jnp.asarray(av),
-        jnp.asarray(phase_pad), jnp.asarray(blk_pad), n_reads, n_sites)
+    dev = devcost.put("haplotag", row, col, av, phase_pad, blk_pad)
+    hap, pc, best, overflow = devcost.run(
+        "haplotag", lambda: _score(*dev, n_reads, n_sites))
     n = am.n_reads
-    return (np.asarray(hap)[:n].astype(np.int8), np.asarray(pc)[:n],
-            np.asarray(best)[:n], np.asarray(overflow)[:n])
+    return (devcost.get("haplotag", hap)[:n].astype(np.int8),
+            devcost.get("haplotag", pc)[:n],
+            devcost.get("haplotag", best)[:n],
+            devcost.get("haplotag", overflow)[:n])

@@ -43,7 +43,7 @@ from duet_tpu.models.snp_phaser import (
     write_phased_snp_vcf,
 )
 from duet_tpu.models.sv_caller import SvCallConfig, write_sv_vcf
-from duet_tpu.utils import dispatch
+from duet_tpu.utils import devcost, dispatch
 from duet_tpu.utils.chrom import resolve_contig_names, strip_chr
 from duet_tpu.utils.logging import StageTimer, get_logger, setup_logging
 
@@ -771,6 +771,7 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
     log = get_logger()
     t0 = time.time()
     dispatch.reset()
+    devcost.reset()
 
     st = PipelineState()
     st.mesh = _resolve_mesh(cfg)
@@ -913,6 +914,9 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             "backends": {s: dispatch.backend_label(s, snap)
                          for s in dispatch.STAGES},
             "device_dispatch": snap,
+            # per-stage h2d/compute/d2h split (utils.devcost) — a slow
+            # device stage is attributable from the artifact itself
+            "device_cost": devcost.snapshot(),
             "stages": {k: round(v, 4) for k, v in stage_s.items()},
             "stage_peak_rss_mb": {k: round(v, 1)
                                   for k, v in stage_rss.items()},
@@ -985,6 +989,7 @@ def run_pipeline(cfg: PipelineConfig) -> str:
 
     t0 = time.time()
     dispatch.reset()  # fresh per-run accounting (bench runs several in-process)
+    devcost.reset()
     st = PipelineState()
     st.mesh = _resolve_mesh(cfg)
     metrics: dict = {"stages": {}, "counts": {}}
@@ -1034,6 +1039,9 @@ def run_pipeline(cfg: PipelineConfig) -> str:
     metrics["backends"] = {s: dispatch.backend_label(s, snap)
                            for s in dispatch.STAGES}
     metrics["device_dispatch"] = snap
+    # per-stage h2d/compute/d2h seconds + bytes (utils.devcost): the
+    # device-path cost split, so "transfer-bound" is checkable in-artifact
+    metrics["device_cost"] = devcost.snapshot()
     if st.mesh is not None:
         metrics["mesh"] = {"dp": int(st.mesh.shape["dp"]),
                            "sp": int(st.mesh.shape["sp"])}
