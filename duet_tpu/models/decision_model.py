@@ -50,27 +50,34 @@ def feature_matrix(f, regime: np.ndarray) -> np.ndarray:
     ], axis=1)
 
 
-_MODEL_CACHE: dict[tuple[str, float], dict] = {}
+_MODEL_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
 
 
 def load_model(path: str | None = None) -> dict:
-    """Parse + validate the tree JSON once per (path, mtime) — the decision
-    stage calls this per chromosome, and a retrain-then-evaluate loop that
-    rewrites the JSON in-process must see the new tree, not a stale cache
-    entry.  Returns a deep copy so caller mutation cannot poison the cache
-    (the model is a tiny dict)."""
+    """Parse + validate the tree JSON once per file generation — the
+    decision stage calls this per chromosome, and a retrain-then-evaluate
+    loop that rewrites the JSON in-process must see the new tree, not a
+    stale cache entry.  The generation key is (st_mtime_ns, st_size):
+    nanosecond mtime plus size distinguishes same-second rewrites on
+    coarse-timestamp filesystems, where float getmtime could not.  One
+    entry per path (stale generations of the SAME path are evicted;
+    alternating two model paths stays cached for both).  Returns a deep
+    copy so caller mutation cannot poison the cache (the model is a tiny
+    dict)."""
     import copy
 
     real = os.path.realpath(path or _MODEL_PATH)
-    key = (real, os.path.getmtime(real))
-    if key not in _MODEL_CACHE:
+    stt = os.stat(real)
+    gen = (stt.st_mtime_ns, stt.st_size)
+    hit = _MODEL_CACHE.get(real)
+    if hit is None or hit[0] != gen:
         with open(real) as fh:
             model = json.load(fh)
         if model.get("features") != list(FEATURE_NAMES):
             raise ValueError("decision model feature contract mismatch")
-        _MODEL_CACHE.clear()  # at most one live entry per path generation
-        _MODEL_CACHE[key] = model
-    return copy.deepcopy(_MODEL_CACHE[key])
+        _MODEL_CACHE[real] = (gen, model)
+        hit = _MODEL_CACHE[real]
+    return copy.deepcopy(hit[1])
 
 
 def _eval_tree(node: dict, X: np.ndarray, out: np.ndarray,

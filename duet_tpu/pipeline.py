@@ -487,9 +487,13 @@ def stage_snp_phasing(cfg: PipelineConfig, st: PipelineState) -> None:
             # parse_sv_vcf canonicalizes contig spellings; key the table by
             # the store's names so per-contig lookups hit
             for c in st.store.contigs:
-                key = c if c in parsed else strip_chr(c)
-                if key in parsed:
-                    st.sv_calls[c] = parsed[key]
+                # try the store spelling, then both alias directions (an
+                # unprefixed store contig must still find a 'chr1' key —
+                # mirrors the fasta-name alias logic above)
+                for key in (c, strip_chr(c), "chr" + strip_chr(c)):
+                    if key in parsed:
+                        st.sv_calls[c] = parsed[key]
+                        break
 
     work = [(c, s) for c, s in st.snps.items() if c in st.store.contigs]
     if st.mesh is None:

@@ -40,6 +40,7 @@
 // the SV caller needs.
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -866,16 +867,18 @@ int64_t duet_candidate_scan(const int32_t* counts, const uint8_t* ref_codes,
 // chromosome scale on a slow-memory host.  Returns 0 on success.
 int32_t duet_fasta_codes(const char* path, int64_t offset, int64_t length,
                          int64_t linebases, int64_t linewidth, uint8_t* out) {
-  static uint8_t lut[256];
-  static bool init = false;
-  if (!init) {
-    std::memset(lut, 4, sizeof(lut));
-    lut['A'] = 0; lut['a'] = 0;
-    lut['C'] = 1; lut['c'] = 1;
-    lut['G'] = 2; lut['g'] = 2;
-    lut['T'] = 3; lut['t'] = 3;
-    init = true;
-  }
+  // function-local static with a lambda initializer: C++11 guarantees
+  // thread-safe one-time construction (a hand-rolled bool flag let two
+  // concurrent first calls interleave memset with published entries)
+  static const std::array<uint8_t, 256> lut = [] {
+    std::array<uint8_t, 256> t;
+    t.fill(4);
+    t['A'] = 0; t['a'] = 0;
+    t['C'] = 1; t['c'] = 1;
+    t['G'] = 2; t['g'] = 2;
+    t['T'] = 3; t['t'] = 3;
+    return t;
+  }();
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   if (std::fseek(f, static_cast<long>(offset), SEEK_SET) != 0) {
