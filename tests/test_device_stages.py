@@ -123,13 +123,36 @@ def test_link_aware_phasing_gate(monkeypatch):
     cfg = pipeline.PipelineConfig(bam="x", reference="y", output="z")
     assert cfg.phasing_device_min_nnz() == cfg.PHASING_GATE_FAST_NNZ
     monkeypatch.setattr(pipeline, "_accelerator_live", lambda: True)
-    monkeypatch.setattr(devlink, "_cached", 200.0)       # tunnel-grade
+    monkeypatch.setattr(devlink, "_cached_profile", SLOW_BW_LINK)
     assert cfg.phasing_device_min_nnz() == cfg.PHASING_GATE_SLOW_NNZ
-    monkeypatch.setattr(devlink, "_cached", 50_000.0)    # PCIe/ICI-grade
+    monkeypatch.setattr(devlink, "_cached_profile", FAST_LINK)
     assert cfg.phasing_device_min_nnz() == cfg.PHASING_GATE_FAST_NNZ
     forced = pipeline.PipelineConfig(bam="x", reference="y", output="z",
                                      device_stages="on")
     assert forced.phasing_device_min_nnz() == 0
+
+
+def _link(mb_s, worst_put_s):
+    from duet_tpu.utils.devlink import LinkProfile
+
+    return LinkProfile(mb_s=mb_s, worst_put_s=worst_put_s, put_s=())
+
+
+# the three link classes the gate must separate (VERDICT r4 next #4):
+# PCIe/ICI-grade, tunnel-grade bandwidth, and the treacherous third kind —
+# healthy bulk bandwidth with a multi-second per-operation stall (observed
+# on this tunnel: a 1 KB put stalled minutes while 16 MB puts measured
+# >1 GB/s)
+FAST_LINK = None
+SLOW_BW_LINK = None
+JITTERY_LINK = None
+
+
+def setup_module():
+    global FAST_LINK, SLOW_BW_LINK, JITTERY_LINK
+    FAST_LINK = _link(50_000.0, 0.002)
+    SLOW_BW_LINK = _link(200.0, 0.02)
+    JITTERY_LINK = _link(1500.0, 4.0)
 
 
 def test_link_aware_sv_cluster_gate(monkeypatch):
@@ -139,10 +162,29 @@ def test_link_aware_sv_cluster_gate(monkeypatch):
     cfg = pipeline.PipelineConfig(bam="x", reference="y", output="z")
     assert cfg.sv_cfg().device_min_k == cfg.SV_GATE_FAST_K  # cpu backend
     monkeypatch.setattr(pipeline, "_accelerator_live", lambda: True)
-    monkeypatch.setattr(devlink, "_cached", 200.0)
+    monkeypatch.setattr(devlink, "_cached_profile", SLOW_BW_LINK)
     assert cfg.sv_cfg().device_min_k == cfg.SV_GATE_SLOW_K
-    monkeypatch.setattr(devlink, "_cached", 50_000.0)
+    monkeypatch.setattr(devlink, "_cached_profile", FAST_LINK)
     assert cfg.sv_cfg().device_min_k == cfg.SV_GATE_FAST_K
+
+
+def test_high_jitter_link_gates_slow(monkeypatch):
+    """Fast bandwidth does NOT make a fast link: a link whose worst
+    small-put stalls seconds pays the per-operation floor on every kernel
+    call, which is what produced the measured 5-60x device losses — both
+    gates must stay at the slow-link thresholds."""
+    from duet_tpu import pipeline
+    from duet_tpu.utils import devlink
+
+    monkeypatch.setattr(pipeline, "_accelerator_live", lambda: True)
+    monkeypatch.setattr(devlink, "_cached_profile", JITTERY_LINK)
+    cfg = pipeline.PipelineConfig(bam="x", reference="y", output="z")
+    assert cfg.phasing_device_min_nnz() == cfg.PHASING_GATE_SLOW_NNZ
+    assert cfg.sv_cfg().device_min_k == cfg.SV_GATE_SLOW_K
+    # the predicate itself, all three classes
+    assert FAST_LINK.is_fast()
+    assert not SLOW_BW_LINK.is_fast()
+    assert not JITTERY_LINK.is_fast()
 
 
 def test_device_cost_attribution_recorded(sim_dataset, tmp_path):

@@ -428,3 +428,24 @@ def test_missing_eof_marker_escape_hatch(tmp_path, sim_dataset, monkeypatch):
     n_nat = sum(cr.n for cr, _ in stream_read_store_native(str(legacy)))
     n_ref = sum(cr.n for cr, _ in stream_read_store_native(f"{out}/reads.bam"))
     assert n_nat == n_ref and n_py >= n_nat  # python iter incl. filtered
+
+
+def test_native_decode_stats_recorded(sim_dataset):
+    """The decoder's interior cost split (inflate vs scan vs fill, byte
+    volumes, fault deltas) is captured after every native decode — the
+    attribution the production metrics ingest block carries."""
+    from duet_tpu.io import native_ingest as ni
+
+    data_dir, _, _ = sim_dataset
+    import os
+
+    bam = os.path.join(data_dir, "reads.bam")
+    ni.load_read_store_native(bam)
+    st = ni.LAST_DECODE_STATS
+    assert st is not None
+    assert st["bytes_inflated"] > st["bytes_compressed"] > 0
+    assert st["bgzf_members"] > 0 and st["inflate_batches"] > 0
+    for k in ("fread_s", "inflate_s", "scan_s", "size_s", "fill_s",
+              "py_fetch_s"):
+        assert st[k] >= 0.0, k
+    assert st["minor_faults"] >= 0
