@@ -651,7 +651,8 @@ def call_contig_snps(contig: str, cr: ContigReads, ref_codes: np.ndarray,
 
 
 def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
-                        cfg: SnpCallConfig | None = None, threads: int = 1):
+                        cfg: SnpCallConfig | None = None, threads: int = 1,
+                        mesh=None):
     """ref_codes: per-contig uint8 base-code arrays (FastaFile.fetch_codes).
 
     Returns (snps_by_contig, site_obs_by_contig) — the site-filtered
@@ -659,9 +660,20 @@ def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
     without a second pileup pass.  Contigs are independent; `threads` fans
     them out on a thread pool (the framework's in-process answer to the
     reference's -t passthrough and GNU-parallel per-chromosome processes,
-    SURVEY.md §2.4)."""
+    SURVEY.md §2.4).  With `mesh`, each contig's coordinate axis shards
+    over the mesh's sp axis (parallel.shard_pileup; bit-identical — the
+    mesh pipeline tests pin pileup.vcf.gz byte-equal)."""
     cfg = cfg or SnpCallConfig()
     work = [(c, cr) for c, cr in store.contigs.items() if c in ref_codes]
+    if mesh is not None and cfg.model in ("counts", "auto") \
+            and cfg.min_base_qual <= 31:
+        from duet_tpu.parallel.shard_pileup import call_snps_sharded
+
+        snps_out = {c: call_snps_sharded(mesh, c, cr, ref_codes[c], cfg)
+                    for c, cr in work}
+        obs_out = {c: _at_site_obs(cr, cfg, snps_out[c].pos)
+                   for c, cr in work}
+        return snps_out, obs_out
     if cfg.device and cfg.model in ("counts", "auto") \
             and cfg.min_base_qual <= 31 and len(work) > 1:
         # forced device mode, several contigs: group small contigs into

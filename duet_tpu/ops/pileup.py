@@ -44,6 +44,16 @@ def pileup_counts(positions, bases, quals, length: int, min_base_qual):
     return jnp.diff(bounds).astype(jnp.int32).reshape(length, 4)
 
 
+def packed_window_body(ops4, payload_ref, *, total: int, length: int,
+                       max_sites: int):
+    """The packed-pileup computation on ONE coordinate window — shared by
+    the single-device jit wrapper (pileup_call_packed) and the mesh
+    shard_map body (parallel.shard_pileup), so the sharded path is the
+    same math by construction."""
+    return _packed_impl(ops4, payload_ref, total=total, length=length,
+                        max_sites=max_sites)
+
+
 @partial(jax.jit, static_argnames=("total", "length", "max_sites"))
 def pileup_call_packed(ops4, payload_ref, *, total: int, length: int,
                        max_sites: int):
@@ -78,6 +88,12 @@ def pileup_call_packed(ops4, payload_ref, *, total: int, length: int,
     by `lane < n_real`.  Returns one flat int32 array
     [n_sites, site_idx*max_sites, alt_code*, is_het*, depth*, alt_count*]
     — O(max_sites) readback, never O(L)."""
+    return _packed_impl(ops4, payload_ref, total=total, length=length,
+                        max_sites=max_sites)
+
+
+def _packed_impl(ops4, payload_ref, *, total: int, length: int,
+                 max_sites: int):
     op_ref, op_q, op_len = ops4[0], ops4[1], ops4[2]
     params = ops4[3]
     n_real, min_base_qual, min_depth = params[0], params[1], params[2]

@@ -391,7 +391,8 @@ def stage_snp_calling(cfg: PipelineConfig, st: PipelineState) -> None:
                 ref_codes[store_name] = st.ref.fetch_codes(fa_name)
                 break
     st.snps, st.site_obs = call_snps_for_store(
-        st.store, ref_codes, cfg.snp_cfg(), threads=cfg.threads)
+        st.store, ref_codes, cfg.snp_cfg(), threads=cfg.threads,
+        mesh=st.mesh)
     pid, nproc = _proc(cfg)
     if nproc > 1:
         # multi-process: the canonical pileup.vcf.gz is merged and written
@@ -854,11 +855,25 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             t = time.perf_counter()
             codes = st.ref.fetch_codes(fa_name)
             _mark("ingest", t)  # reference load is ingest, not SNP calling
-            from duet_tpu.models.snp_caller import call_contig_snps
+            from duet_tpu.models.snp_caller import (
+                _at_site_obs,
+                call_contig_snps,
+            )
 
             t = time.perf_counter()
-            snps, site_obs = call_contig_snps(cr.contig, cr, codes,
-                                              cfg.snp_cfg())
+            snp_cfg = cfg.snp_cfg()
+            if st.mesh is not None and snp_cfg.model in ("counts", "auto") \
+                    and snp_cfg.min_base_qual <= 31:
+                # coordinate-sharded pileup over sp (parallel.shard_pileup;
+                # bit-identical to the host caller — tests pin it)
+                from duet_tpu.parallel.shard_pileup import call_snps_sharded
+
+                snps = call_snps_sharded(st.mesh, cr.contig, cr, codes,
+                                         snp_cfg)
+                site_obs = _at_site_obs(cr, snp_cfg, snps.pos)
+            else:
+                snps, site_obs = call_contig_snps(cr.contig, cr, codes,
+                                                  snp_cfg)
             snps_all[cr.contig] = snps
             _mark("snp_calling", t)
             # cross-contig breakend evidence survives the contig's release

@@ -63,15 +63,17 @@ def reset() -> None:
         _acc.clear()
 
 
-def put(stage: str, *arrays):
-    """Stage host arrays onto the default device, timed; returns the device
-    arrays in order (singleton input -> singleton output, still a tuple)."""
+def put(stage: str, *arrays, sharding=None):
+    """Stage host arrays onto the default device (or with an explicit
+    `sharding` for mesh paths), timed; returns the device arrays in order
+    (singleton input -> singleton output, still a tuple)."""
     import jax
 
     out = []
     for a in arrays:
         t0 = time.perf_counter()
-        d = jax.device_put(a)
+        d = jax.device_put(a, sharding) if sharding is not None \
+            else jax.device_put(a)
         jax.block_until_ready(d)
         dt = time.perf_counter() - t0
         with _lock:
