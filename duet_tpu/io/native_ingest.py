@@ -47,12 +47,37 @@ class NativeUnavailable(RuntimeError):
 LAST_DECODE_STATS: dict | None = None
 
 
-def _collect_stats(lib, h, ru0) -> dict:
-    import resource
+class _RuWindow:
+    """Accumulates getrusage deltas over just the DECODE calls of a
+    streaming generator, so interleaved stage work between yields does not
+    pollute the decode's fault/CPU attribution.  (With the prefetch
+    thread active the process-wide counters still mix in concurrent stage
+    CPU; on multi-core hosts read these as upper bounds.)"""
 
+    def __init__(self):
+        self.utime = self.stime = 0.0
+        self.minflt = self.majflt = 0
+        self._t = None
+
+    def __enter__(self):
+        import resource
+
+        self._t = resource.getrusage(resource.RUSAGE_SELF)
+        return self
+
+    def __exit__(self, *exc):
+        import resource
+
+        r = resource.getrusage(resource.RUSAGE_SELF)
+        self.utime += r.ru_utime - self._t.ru_utime
+        self.stime += r.ru_stime - self._t.ru_stime
+        self.minflt += r.ru_minflt - self._t.ru_minflt
+        self.majflt += r.ru_majflt - self._t.ru_majflt
+
+
+def _collect_stats(lib, h, ru: "_RuWindow") -> dict:
     raw = (ctypes.c_double * 9)()
     lib.duet_bam_stats(ctypes.c_void_p(h), raw)
-    ru1 = resource.getrusage(resource.RUSAGE_SELF)
     return {
         "fread_s": round(raw[0], 4),
         "inflate_s": round(raw[1], 4),
@@ -63,8 +88,15 @@ def _collect_stats(lib, h, ru0) -> dict:
         "bytes_inflated": int(raw[6]),
         "bgzf_members": int(raw[7]),
         "inflate_batches": int(raw[8]),
-        "minor_faults": ru1.ru_minflt - ru0.ru_minflt,
-        "major_faults": ru1.ru_majflt - ru0.ru_majflt,
+        "minor_faults": ru.minflt,
+        "major_faults": ru.majflt,
+        # user vs kernel CPU seconds across the decode calls (all
+        # threads): when stime rivals utime and decode wall ~=
+        # (utime+stime)/n_cores, the decode is paging/zeroing-bound, not
+        # compute-bound — the distinction the VERDICT r4 ingest ask needs
+        # the artifact itself to make
+        "cpu_user_s": round(ru.utime, 2),
+        "cpu_kernel_s": round(ru.stime, 2),
     }
 
 
@@ -260,14 +292,13 @@ def stream_read_store_native(bam_path: str, min_mapq: int = 0,
     handle opens — callers get the header from THIS open instead of paying
     a second decoder startup (thread pool + first BGZF window) just to read
     it."""
-    import resource
-
     lib = get_lib()
     if n_threads is None:
         n_threads = max(os.cpu_count() or 1, 1)
-    ru0 = resource.getrusage(resource.RUSAGE_SELF)
+    ru = _RuWindow()
     py_fetch_s = 0.0  # buffer alloc + name decode around duet_bam_fill
-    h = lib.duet_bam_open(bam_path.encode(), min_mapq, n_threads)
+    with ru:
+        h = lib.duet_bam_open(bam_path.encode(), min_mapq, n_threads)
     try:
         if compact_bytes is not None:
             lib.duet_bam_set_compact(ctypes.c_void_p(h),
@@ -294,23 +325,26 @@ def stream_read_store_native(bam_path: str, min_mapq: int = 0,
             arr = (ctypes.c_int32 * len(ids))(*ids)
             lib.duet_bam_set_filter(ctypes.c_void_p(h), arr, len(ids))
         while True:
-            rid = lib.duet_bam_next_contig(h)
-            if rid == -2:
-                err = lib.duet_bam_error(h)
-                raise ValueError(f"{bam_path}: "
-                                 f"{err.decode() if err else 'decode error'}")
+            with ru:
+                rid = lib.duet_bam_next_contig(h)
+                if rid == -2:
+                    err = lib.duet_bam_error(h)
+                    raise ValueError(
+                        f"{bam_path}: "
+                        f"{err.decode() if err else 'decode error'}")
+                if rid >= 0:
+                    t0 = time.perf_counter()
+                    cr = _fetch_contig(lib, h, ref_names[rid])
+                    py_fetch_s += time.perf_counter() - t0
             if rid < 0:
                 break
-            t0 = time.perf_counter()
-            cr = _fetch_contig(lib, h, ref_names[rid])
-            py_fetch_s += time.perf_counter() - t0
             yield cr, contig_lengths
     finally:
         # abandoned-generator cleanup can run at interpreter teardown, when
         # the ctypes function attributes may already be torn down
         try:
             global LAST_DECODE_STATS
-            LAST_DECODE_STATS = _collect_stats(lib, h, ru0)
+            LAST_DECODE_STATS = _collect_stats(lib, h, ru)
             # python-side wrapper time (duet_bam_fill is inside fill_s;
             # the rest is numpy buffer alloc + read-name slicing)
             LAST_DECODE_STATS["py_fetch_s"] = round(py_fetch_s, 4)

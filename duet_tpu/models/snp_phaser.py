@@ -361,27 +361,27 @@ def support_read_intervals(cr: ContigReads, names: set):
     or None when no read matches.  Split alignments of one name share a
     pooled span, matching the allele matrix's name-grouped rows.
 
-    Vectorized: np.isin over the name column, then sort-grouped
-    min/max.reduceat over the matched subset — a per-alignment Python loop
-    with set membership added host seconds per contig at chromosome scale
-    on this repo's slow-memory target (ADVICE r4)."""
-    nm = np.asarray(cr.names, dtype=object)
-    hit = np.isin(nm, np.asarray(list(names), dtype=object))
-    if not hit.any():
+    Deliberately a set-membership loop: np.isin on OBJECT (string) arrays
+    degenerates to per-candidate full-column comparisons and measured
+    127 s where this loop takes 0.19 s on a 183k-alignment x 70k-name
+    production contig (round-5 measurement — the "vectorized" rewrite
+    suggested by the round-4 advisor was a 680x regression and is
+    reverted).  Hashing each name once against a set is O(n) with small
+    constants; at 1M alignments this is ~1 s host-side, far below the
+    stage's kernel work."""
+    spans: dict[str, list] = {}
+    for i, nm in enumerate(cr.names):
+        if nm in names:
+            s = spans.get(nm)
+            if s is None:
+                spans[nm] = [int(cr.starts[i]), int(cr.ends[i])]
+            else:
+                s[0] = min(s[0], int(cr.starts[i]))
+                s[1] = max(s[1], int(cr.ends[i]))
+    if not spans:
         return None
-    idx = np.flatnonzero(hit)
-    sub = nm[idx]
-    order = np.argsort(sub, kind="stable")
-    sub_s = sub[order]
-    s_sorted = np.asarray(cr.starts, np.int64)[idx][order]
-    e_sorted = np.asarray(cr.ends, np.int64)[idx][order]
-    grp = np.flatnonzero(np.r_[True, sub_s[1:] != sub_s[:-1]])
-    g_start = np.minimum.reduceat(s_sorted, grp)
-    g_end = np.maximum.reduceat(e_sorted, grp)
-    # same output order as the dict-of-lists formulation: spans sorted by
-    # (start, end)
-    o2 = np.lexsort((g_end, g_start))
-    return g_start[o2], np.maximum.accumulate(g_end[o2])
+    arr = np.array(sorted(spans.values()), dtype=np.int64)
+    return arr[:, 0], np.maximum.accumulate(arr[:, 1])
 
 
 def _junction_protected(protect, p_lo: np.ndarray, p_hi: np.ndarray):

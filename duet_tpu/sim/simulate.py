@@ -42,6 +42,23 @@ class SimConfig:
     sub_error: float = 0.02
     indel_error: float = 0.01  # small 1-3bp sequencing indels
     qual_mean: int = 22
+    # ONT error SHAPE (round-5, VERDICT r4 next #6): real nanopore error is
+    # not uniform — it concentrates in homopolymers (dominant mode: +-1
+    # base at a run) and correlates WITHIN a read (bad pores/strands yield
+    # whole bad reads).  A uniform model is the easiest regime for the
+    # counting caller and the junction-evidence thresholds; these two
+    # fields make the sim adversarial in the same way real data is.
+    #   hp_indel_rate      per crossed homopolymer run of length >= 3, the
+    #                      prob of a +-1bp indel is
+    #                      min(rate * mult * (len-2)^hp_indel_exponent, .5)
+    #   read_qual_wander   lognormal sigma of the per-read error
+    #                      MULTIPLIER; substitutions scale by it and the
+    #                      read's quals shift by -10*log10(mult), so bad
+    #                      reads announce themselves the way real basecalls
+    #                      do
+    hp_indel_rate: float = 0.012
+    hp_indel_exponent: float = 1.6
+    read_qual_wander: float = 0.45
     # spurious SV-sized insertion ARTIFACTS (library/basecall chimeras and
     # homopolymer slippage — what real ONT data has and a clean simulation
     # lacks).  They are never in the truth VCF, so the calls they seed are
@@ -123,16 +140,89 @@ def _revcomp(codes: np.ndarray) -> np.ndarray:
     return np.where(codes < 4, 3 - codes[::-1], 4).astype(np.uint8)
 
 
-def _apply_sub_errors(rng, codes, cfg):
+def _apply_sub_errors(rng, codes, cfg, err_mult: float = 1.0):
     n = len(codes)
     if n == 0:
         return codes
-    sub_mask = rng.random(n) < cfg.sub_error
+    sub_mask = rng.random(n) < min(cfg.sub_error * err_mult, 0.5)
     if sub_mask.any():
         codes = codes.copy()
         codes[sub_mask] = (codes[sub_mask]
                            + rng.integers(1, 4, size=int(sub_mask.sum()))) % 4
     return codes
+
+
+def _apply_hp_indels(rng, codes, quals, seg_cig, cfg, err_mult: float = 1.0):
+    """Homopolymer-length-dependent +-1bp indels (the dominant real-ONT
+    error mode).  Each maximal run of >= 3 identical emitted bases draws an
+    indel with probability growing in run length; an insertion duplicates
+    the run base in place (cigar I), a deletion drops one run base against
+    the reference (cigar D).  Events land only inside M runs — content
+    inside existing I runs (e.g. SV insertion sequence) is skipped, which
+    keeps the surgery exact.  Reference consumption is preserved, so the
+    segment stays alignment-consistent."""
+    rate = cfg.hp_indel_rate * err_mult
+    if rate <= 0 or len(codes) < 20:
+        return codes, quals, seg_cig
+    c = codes
+    change = np.flatnonzero(np.r_[True, c[1:] != c[:-1], True])
+    starts, lens = change[:-1], np.diff(change)
+    runs = np.flatnonzero(lens >= 3)
+    if not len(runs):
+        return codes, quals, seg_cig
+    p = np.minimum(rate * (lens[runs] - 2.0) ** cfg.hp_indel_exponent, 0.5)
+    hit = runs[rng.random(len(runs)) < p]
+    if not len(hit):
+        return codes, quals, seg_cig
+    events = sorted(
+        (int(starts[r] + lens[r] // 2), 1 if rng.random() < 0.5 else -1)
+        for r in hit)
+    new_cig: list[list[int]] = []
+    parts_c: list[np.ndarray] = []
+    parts_q: list[np.ndarray] = []
+
+    def emit(op, ln):
+        if ln <= 0:
+            return
+        if new_cig and new_cig[-1][0] == op:
+            new_cig[-1][1] += ln
+        else:
+            new_cig.append([op, ln])
+
+    q = 0
+    ei = 0
+    for op, ln in seg_cig:
+        if op == 0:
+            cur = q
+            while ei < len(events) and events[ei][0] < q + ln:
+                eq, kind = events[ei]
+                ei += 1
+                parts_c.append(c[cur:eq])
+                parts_q.append(quals[cur:eq])
+                emit(0, eq - cur)
+                if kind == 1:           # duplicate the run base
+                    parts_c.append(c[eq:eq + 1])
+                    parts_q.append(quals[eq:eq + 1])
+                    emit(1, 1)
+                    cur = eq
+                else:                   # drop one base against the reference
+                    emit(2, 1)
+                    cur = eq + 1
+            parts_c.append(c[cur:q + ln])
+            parts_q.append(quals[cur:q + ln])
+            emit(0, q + ln - cur)
+            q += ln
+        elif op == 1:
+            while ei < len(events) and events[ei][0] < q + ln:
+                ei += 1                 # no events inside insertions
+            parts_c.append(c[q:q + ln])
+            parts_q.append(quals[q:q + ln])
+            emit(1, ln)
+            q += ln
+        else:                           # D: consumes no query
+            emit(op, ln)
+    return (np.concatenate(parts_c) if parts_c else c[:0],
+            np.concatenate(parts_q) if parts_q else quals[:0], new_cig)
 
 
 def _inject_ins_artifact(codes, quals, seg_cig, cut, k, rng, cfg):
@@ -333,10 +423,17 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
 
     out = []
     single = len(segments) == 1
+    # per-read error multiplier (ONT quality wander): substitutions scale
+    # by it and the read's quals shift phred-consistently, so a bad read
+    # both errs more and SAYS so — the correlation real basecalls have
+    err_mult = float(np.exp(rng.normal(0.0, cfg.read_qual_wander))) \
+        if cfg.read_qual_wander > 0 else 1.0
+    qual_shift = -10.0 * np.log10(err_mult) if err_mult > 0 else 0.0
     for seg_contig, ref_start, strand, seq_parts, seg_cig in segments:
         codes = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8)
-        codes = _apply_sub_errors(rng, codes, cfg)
-        quals = np.clip(rng.normal(cfg.qual_mean, 4, size=len(codes)),
+        codes = _apply_sub_errors(rng, codes, cfg, err_mult)
+        quals = np.clip(rng.normal(cfg.qual_mean + qual_shift, 4,
+                                   size=len(codes)),
                         5, 40).astype(np.uint8)
         # spurious SV-sized insertion artifacts (single plain segments only;
         # injected BEFORE the small-indel block so both see a valid cigar)
@@ -379,6 +476,9 @@ def _simulate_read(rng, ref_codes, start, target_span, hap,
                 codes = np.concatenate([codes[:cut], codes[cut + k:]])
                 quals = np.concatenate([quals[:cut], quals[cut + k:]])
                 seg_cig = [[0, cut], [2, k], [0, first[1] - cut - k]] + rest
+        # homopolymer-run indels last, on every segment (split reads too)
+        codes, quals, seg_cig = _apply_hp_indels(rng, codes, quals, seg_cig,
+                                                 cfg, err_mult)
         out.append((seg_contig, ref_start, strand, codes, quals, seg_cig))
     return out
 
