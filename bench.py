@@ -28,6 +28,8 @@ import json
 import sys
 import time
 
+import duet_tpu  # noqa: F401  (before numpy: the import-time hugepage
+#                 probe must run while numpy is still unloaded)
 import numpy as np
 
 

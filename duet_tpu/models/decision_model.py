@@ -25,11 +25,21 @@ import os
 
 import numpy as np
 
-# side-symmetric feature vector (order is the serialized contract)
+# side-symmetric feature vector (order is the serialized contract).  The
+# two ctx_* columns are PER-CHROMOSOME context broadcast to every call:
+# under heavy read error sv_ratio is GLOBALLY depressed (every call's
+# support reads carry mismatches), and a per-call threshold that is right
+# at 2% error filters true calls at 6% — the round-4 holdout lost 0.046
+# calling F1 exactly that way (docs/PC_SCALE.md).  The chromosome-median
+# sv_ratio and depth let the tree condition its filter on the regime the
+# data is actually in, with no cross-stage plumbing (both are medians
+# over the candidate block the decision stage already holds).
 FEATURE_NAMES = (
     "regime", "sv_ratio", "hapread_ratio", "totsc_ratio", "onehap_totsc",
     "hap_avgsc_diff", "hap_min", "hap_max", "hap0", "allhap",
     "totsc_min", "totsc_max", "ref_num", "sv_num",
+    "ctx_sv_ratio_med", "ctx_depth_med", "sv_ratio_rel",
+    "verbatim_class",
 )
 
 _MODEL_PATH = os.path.join(os.path.dirname(__file__), "weights",
@@ -37,7 +47,31 @@ _MODEL_PATH = os.path.join(os.path.dirname(__file__), "weights",
 
 
 def feature_matrix(f, regime: np.ndarray) -> np.ndarray:
-    """(n, len(FEATURE_NAMES)) float64 from a PhaseFeatures block."""
+    """(n, len(FEATURE_NAMES)) float64 from a PhaseFeatures block.
+
+    The block is one chromosome's candidate calls, so the ctx_* medians
+    computed here ARE the per-chromosome context features."""
+    n = len(f.sv_ratio)
+    depth = f.ref_num + f.sv_num
+    ctx_ratio = np.full(n, np.median(f.sv_ratio) if n else 0.0)
+    ctx_depth = np.full(n, np.median(depth) if n else 0.0)
+    # regime-RELATIVE support ratio: one axis-aligned cut on this feature
+    # is "filter calls whose support ratio sits well below the
+    # chromosome's norm", valid across error regimes — a hotspot artifact
+    # at sv_ratio ~0.3 scores ~0.6 of the contig median whether the data
+    # is clean (med ~0.5) or error-depressed (med ~0.45), while true
+    # calls sit near 1.0.  The raw (sv_ratio, ctx) pair needs a 2D split
+    # the tree's axis-aligned cuts model poorly.
+    rel = f.sv_ratio / np.maximum(ctx_ratio, 0.05)
+    # STACKED feature: the verbatim T1-T5 tree's own class for this call
+    # ({0 filtered, 1 het, 2 hom}).  With this column the learned tree can
+    # reproduce reference behavior with a single split and only DEVIATES
+    # where training data shows an impurity gain — "at least as good as
+    # verbatim" becomes the model's floor rather than a hope.
+    from duet_tpu.models.sv_phaser import decide_haplotype
+
+    vpred = decide_haplotype(f, regime)
+    vclass = np.where(vpred == 3, 2, np.where(vpred > 0, 1, 0))
     return np.stack([
         regime.astype(np.float64),
         f.sv_ratio, f.hapread_ratio, f.totsc_ratio, f.onehap_totsc,
@@ -47,6 +81,8 @@ def feature_matrix(f, regime: np.ndarray) -> np.ndarray:
         np.minimum(f.hap1_totsc, f.hap2_totsc),
         np.maximum(f.hap1_totsc, f.hap2_totsc),
         f.ref_num, f.sv_num,
+        ctx_ratio, ctx_depth, rel,
+        vclass.astype(np.float64),
     ], axis=1)
 
 
@@ -103,9 +139,24 @@ def decide_haplotype_learned(f, regime: np.ndarray,
                              model: dict | None = None) -> np.ndarray:
     """Drop-in for sv_phaser.decide_haplotype: 0 filtered, 1 '1|0',
     2 '0|1', 3 '1|1'.  Class from the learned tree; het side from the
-    evidence direction (the verbatim tree's own side rules)."""
+    evidence direction (the verbatim tree's own side rules).
+
+    PRECISION-SAFE BY CONSTRUCTION: the learned layer may FILTER calls
+    the verbatim tree accepts and re-GENOTYPE accepted calls, but never
+    un-filters a verbatim rejection.  A tree trained to rescue
+    verbatim-filtered calls keyed the rescue on chromosome-aggregate
+    features, and those aggregates shift with the very artifact density
+    they are supposed to detect — measured on round-5 holdouts as
+    accept-everything leaves that cost 0.10-0.24 calling precision on
+    artifact cells (training-set CV looked clean each time; the ship gate
+    vetoed four such trees).  Clamping to verbatim's accept set makes
+    artifact precision >= verbatim's unconditionally, and the ask's
+    recall bar is verbatim-parity, not verbatim-exceedance."""
     model = model or load_model()
-    cls = predict_class(model, feature_matrix(f, regime))
+    X = feature_matrix(f, regime)
+    cls = predict_class(model, X)
+    vclass = X[:, FEATURE_NAMES.index("verbatim_class")]
+    cls = np.where(vclass == 0, 0, cls)
     # het side: larger PC mass wins; when only one side has evidence the
     # average-score side (verbatim regime-1 onehap rule) — identical here
     # since the massless side has avgsc 0 too
