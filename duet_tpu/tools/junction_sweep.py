@@ -68,6 +68,11 @@ def main(argv=None) -> int:
     seeds = [int(s) for s in opt(
         "--seeds", "70,71" if quick else "70,71,72,73,74,75,76,77").split(",")]
     mb = float(opt("--mb", "0.25"))
+    # --rules trims the sweep for expensive (genome-scale --mb) re-checks
+    rules = tuple(opt("--rules", ",".join(RULES)).split(","))
+    for r in rules:
+        if r not in RULES:
+            raise SystemExit(f"unknown rule {r!r}; choose from {RULES}")
     from duet_tpu.sim.simulate import SimConfig, simulate_dataset
 
     cells: dict[tuple, list[dict]] = {}
@@ -77,7 +82,7 @@ def main(argv=None) -> int:
                 simulate_dataset(data, SimConfig(
                     contigs={"chr21": int(mb * 1e6)}, seed=seed,
                     coverage=cov))
-                for rule in RULES:
+                for rule in rules:
                     with tempfile.TemporaryDirectory(prefix="jrun_") as out:
                         cells.setdefault((cov, rule), []).append(
                             run_rule(data, rule, out))
