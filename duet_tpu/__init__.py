@@ -61,14 +61,17 @@ def _tune_hugepages() -> None:
             finally:
                 m.close()
 
-        # one 64 MB trial each way, plain first: big enough that the
+        # one 64 MB trial each way, PLAIN FIRST (so the huge trial cannot
+        # recycle the plain trial's just-freed warm frames and look
+        # artificially slow on a healthy host): big enough that the
         # cold-frame zeroing rate (what a multi-GB ingest pays) shows
         # through the kernel's warm-frame recycling most of the time,
         # small enough to cost ~50 ms on healthy hardware.  A warm-frame
         # false negative just keeps numpy's default — no worse than not
         # probing.  Measured on this VM class: 64 MB huge-touch 1.7 s vs
         # plain 0.15 s (11x); healthy hosts measure huge <= plain.
-        if touch(True) > 2.5 * touch(False):
+        plain = touch(False)
+        if touch(True) > 2.5 * plain:
             os.environ["NUMPY_MADVISE_HUGEPAGE"] = "0"
     except Exception:
         pass  # probe is best-effort; numpy's default stands

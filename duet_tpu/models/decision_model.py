@@ -42,6 +42,11 @@ FEATURE_NAMES = (
     "verbatim_class",
 )
 
+# bump when a feature's MEANING changes without its name changing (e.g.
+# the ctx_* median population fix) — the trainer's --rows cache and any
+# other serialized feature matrix must key on this, not just the names
+FEATURE_SEMVER = 2
+
 _MODEL_PATH = os.path.join(os.path.dirname(__file__), "weights",
                            "decision_tree_v1.json")
 
@@ -50,11 +55,21 @@ def feature_matrix(f, regime: np.ndarray) -> np.ndarray:
     """(n, len(FEATURE_NAMES)) float64 from a PhaseFeatures block.
 
     The block is one chromosome's candidate calls, so the ctx_* medians
-    computed here ARE the per-chromosome context features."""
+    computed here ARE the per-chromosome context features.  Medians run
+    over the sv_num >= 2 SUBPOPULATION: training collects candidate
+    blocks at min-support 1 (to harvest filtered-class rows) while the
+    default pipeline filters to support >= 2 before the decision stage —
+    taking the median over all rows would fit thresholds against
+    single-read-artifact-depressed statistics that inference never sees
+    (train/serve skew).  The >= 2 subpopulation is the same population
+    in both regimes."""
     n = len(f.sv_ratio)
     depth = f.ref_num + f.sv_num
-    ctx_ratio = np.full(n, np.median(f.sv_ratio) if n else 0.0)
-    ctx_depth = np.full(n, np.median(depth) if n else 0.0)
+    multi = f.sv_num >= 2
+    ratio_pop = f.sv_ratio[multi] if multi.any() else f.sv_ratio
+    depth_pop = depth[multi] if multi.any() else depth
+    ctx_ratio = np.full(n, np.median(ratio_pop) if n else 0.0)
+    ctx_depth = np.full(n, np.median(depth_pop) if n else 0.0)
     # regime-RELATIVE support ratio: one axis-aligned cut on this feature
     # is "filter calls whose support ratio sits well below the
     # chromosome's norm", valid across error regimes — a hotspot artifact

@@ -32,7 +32,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _pow2(n: int) -> int:
-    return 1 << max(n - 1, 0).bit_length()
+    # same bucketing as models.snp_caller._pow2 (imported lazily below to
+    # avoid a module-import cycle; the shard/single-device pairing must
+    # share one padding policy — tests pin bit-equality)
+    from duet_tpu.models.snp_caller import _pow2 as p
+
+    return p(n)
 
 
 def _shard_body(ops4, payload_ref, *, total: int, length: int,
@@ -63,12 +68,15 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
     """Mesh-sharded twin of models.snp_caller.call_snps_device: returns the
     same ContigSnps, computed with each mesh device owning one coordinate
     window.  Bit-identical (windowed counting cannot change any site's
-    counts; the tests pin it).  Falls back to the host caller for
-    min_base_qual > 31 (the packed payload's qual clip bound) and recounts
-    any compaction-overflow window on the host, exactly like the
-    single-device driver."""
+    counts; the tests pin it).  Falls back to the bit-identical host
+    caller for min_base_qual > 31 (the packed payload's qual clip bound),
+    for per-shard windows above DEVICE_PILEUP_WINDOW (the count image
+    would be multi-GB per device), and for payloads at the int32
+    exactness bound — the same guards the single-device driver carries —
+    and recounts any compaction-overflow window on the host."""
     from duet_tpu.models.snp_caller import (
         DEVICE_MAX_SITE_DENSITY,
+        DEVICE_PILEUP_WINDOW,
         _as_rational,
         _assemble_snps,
         _host_window,
@@ -80,12 +88,15 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
     )
     from duet_tpu.utils import devcost, dispatch
 
-    L = len(ref_codes)
-    if cfg.min_base_qual > 31 or L == 0:
+    def host_fallback():
         dispatch.record("snp_pileup", "host")
         obs = pileup_observations(cr, cfg)
         counts = count_alleles(obs[0], obs[1], obs[2], L, cfg.min_base_qual)
         return call_snps(contig, counts, ref_codes, cfg)
+
+    L = len(ref_codes)
+    if cfg.min_base_qual > 31 or L == 0:
+        return host_fallback()
 
     op_ref, op_q, op_len, _ = match_op_table(cr, cfg.min_mapq)
     if len(op_len) and int((op_ref + op_len).max()) > L:
@@ -96,6 +107,12 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
 
     n_shards = int(mesh.shape[axis])
     Lw = _pow2(-(-L // n_shards))
+    if Lw > DEVICE_PILEUP_WINDOW:
+        # per-shard window above the single-device cap: the (Lw, 4)
+        # count image alone would be multi-GB per device.  Keep the
+        # bit-identical host caller rather than growing the kernel's
+        # shape family (same trade _device_window makes).
+        return host_fallback()
     max_sites = _pow2(max(Lw // DEVICE_MAX_SITE_DENSITY, 256))
     rats = (*_as_rational(cfg.min_af), *_as_rational(cfg.hom_af))
     af_num, af_den, hom_num, hom_den = rats
@@ -124,6 +141,12 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
         packed = _pack_payload(cr.seq[b0:b1], cr.qual[b0:b1])
         shards.append((st - lo, q0 - b0, ln, packed, lo, hi))
 
+    if max(len(s[3]) for s in shards) >= 1 << 30:
+        # int32 exactness bound (mirrors _device_window): query offsets,
+        # the observation total and the kernel's int32 length cumsum all
+        # index the payload; past 2^30 bytes the pow2 pads could cross
+        # 2^31 and numpy/jax int32 casts wrap SILENTLY (x64 is off)
+        return host_fallback()
     totals = [int(ln.sum()) for _, _, ln, _, _, _ in shards]
     total_pad = _pow2(max(max(totals), 1))
     ops_pad = max(_pow2(max(len(s[2]) for s in shards) + 1), 1 << 12)

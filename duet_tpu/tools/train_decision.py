@@ -22,7 +22,11 @@ import tempfile
 
 import numpy as np
 
-from duet_tpu.models.decision_model import FEATURE_NAMES, feature_matrix
+from duet_tpu.models.decision_model import (
+    FEATURE_NAMES,
+    FEATURE_SEMVER,
+    feature_matrix,
+)
 
 # (coverage, seed, sub_error, artifacts): the clean grid, high-error cells,
 # and ARTIFACT cells — spurious SV-sized insertions (random per-read +
@@ -210,7 +214,9 @@ def main(argv=None) -> int:
     X = y = None
     if rows_path and os.path.exists(rows_path):
         cached = np.load(rows_path, allow_pickle=True)
-        if list(cached["features"]) == list(FEATURE_NAMES):
+        cached_semver = int(cached["semver"]) if "semver" in cached else 0
+        if list(cached["features"]) == list(FEATURE_NAMES) \
+                and cached_semver == FEATURE_SEMVER:
             X, y = cached["X"], cached["y"]
         else:
             print(f"# rows cache {rows_path} has a stale feature contract; "
@@ -227,7 +233,8 @@ def main(argv=None) -> int:
         y = np.concatenate(ys)
         if rows_path:
             np.savez(rows_path, X=X, y=y,
-                     features=np.array(FEATURE_NAMES, dtype=object))
+                     features=np.array(FEATURE_NAMES, dtype=object),
+                     semver=FEATURE_SEMVER)
     if not quick and int((y == 0).sum()) < 30:
         raise SystemExit(
             f"only {(y == 0).sum()} class-0 (filtered) rows collected — "
@@ -255,7 +262,7 @@ def main(argv=None) -> int:
     svn_col = Xa[:, FEATURE_NAMES.index("sv_num")]
     w = np.ones(len(ya))
     w[ya == 0] = 2.0
-    w[(ya == 0) & (svn_col >= 2)] = 5.0
+    w[(ya == 0) & (svn_col >= 2)] = 3.0
     clf = DecisionTreeClassifier(max_depth=6, min_samples_leaf=10,
                                  random_state=0)
     clf.fit(Xa, ya, sample_weight=w)
@@ -322,10 +329,15 @@ def main(argv=None) -> int:
         if prev_model is not None:
             with open(out_path, "w") as fh:
                 fh.write(prev_model)
+            outcome = "previous tree restored"
+        else:
+            # no previous model: the regressed tree must not linger at a
+            # path later runs would load as if it had passed the gate
+            os.remove(out_path)
+            outcome = "no previous tree; output removed"
         print(json.dumps({"holdout": rows}, indent=2))
         raise SystemExit("holdout regression — model NOT shipped "
-                         "(previous tree restored):\n  " +
-                         "\n  ".join(regressions))
+                         f"({outcome}):\n  " + "\n  ".join(regressions))
     print(json.dumps({
         "train_rows": int(len(y)),
         "class_counts": {int(c): int((y == c).sum()) for c in np.unique(y)},

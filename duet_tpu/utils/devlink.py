@@ -135,6 +135,12 @@ def probe_link() -> LinkProfile:
                     dt = time.perf_counter() - t0
                     times.append(dt)
                     worst_small = max(worst_small, dt)
+                    if worst_small >= FAST_MAX_PUT_S:
+                        # the gate is already decided (slow) — stop
+                        # probing a link whose small puts can stall for
+                        # minutes; one stall bounds the damage, three
+                        # would triple it
+                        break
             else:
                 worst_small = worst_big
             _cached_profile = LinkProfile(
