@@ -650,6 +650,14 @@ def call_contig_snps(contig: str, cr: ContigReads, ref_codes: np.ndarray,
     return snps, filter_observations_to_sites(*obs, snps.pos)
 
 
+def mesh_pileup_ok(cfg: SnpCallConfig) -> bool:
+    """The coordinate-sharded pileup implements the counting rule ('auto'
+    resolves to it on a mesh, mirroring the forced-device path); the nn
+    stays host, and the packed payload's qual clip bounds min_base_qual.
+    One predicate so the batch and streaming call sites cannot drift."""
+    return cfg.model in ("counts", "auto") and cfg.min_base_qual <= 31
+
+
 def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
                         cfg: SnpCallConfig | None = None, threads: int = 1,
                         mesh=None):
@@ -665,8 +673,7 @@ def call_snps_for_store(store: ReadStore, ref_codes: dict[str, np.ndarray],
     mesh pipeline tests pin pileup.vcf.gz byte-equal)."""
     cfg = cfg or SnpCallConfig()
     work = [(c, cr) for c, cr in store.contigs.items() if c in ref_codes]
-    if mesh is not None and cfg.model in ("counts", "auto") \
-            and cfg.min_base_qual <= 31:
+    if mesh is not None and mesh_pileup_ok(cfg):
         from duet_tpu.parallel.shard_pileup import call_snps_sharded
 
         snps_out = {c: call_snps_sharded(mesh, c, cr, ref_codes[c], cfg)

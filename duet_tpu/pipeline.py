@@ -858,12 +858,12 @@ def run_pipeline_streaming(cfg: PipelineConfig) -> str:
             from duet_tpu.models.snp_caller import (
                 _at_site_obs,
                 call_contig_snps,
+                mesh_pileup_ok,
             )
 
             t = time.perf_counter()
             snp_cfg = cfg.snp_cfg()
-            if st.mesh is not None and snp_cfg.model in ("counts", "auto") \
-                    and snp_cfg.min_base_qual <= 31:
+            if st.mesh is not None and mesh_pileup_ok(snp_cfg):
                 # coordinate-sharded pileup over sp (parallel.shard_pileup;
                 # bit-identical to the host caller — tests pin it)
                 from duet_tpu.parallel.shard_pileup import call_snps_sharded

@@ -143,16 +143,9 @@ def _link(mb_s, worst_put_s):
 # healthy bulk bandwidth with a multi-second per-operation stall (observed
 # on this tunnel: a 1 KB put stalled minutes while 16 MB puts measured
 # >1 GB/s)
-FAST_LINK = None
-SLOW_BW_LINK = None
-JITTERY_LINK = None
-
-
-def setup_module():
-    global FAST_LINK, SLOW_BW_LINK, JITTERY_LINK
-    FAST_LINK = _link(50_000.0, 0.002)
-    SLOW_BW_LINK = _link(200.0, 0.02)
-    JITTERY_LINK = _link(1500.0, 4.0)
+FAST_LINK = _link(50_000.0, 0.002)
+SLOW_BW_LINK = _link(200.0, 0.02)
+JITTERY_LINK = _link(1500.0, 4.0)
 
 
 def test_link_aware_sv_cluster_gate(monkeypatch):
