@@ -68,16 +68,24 @@ def pileup_call_packed(ops4, payload_ref, *, total: int, length: int,
     round-trip per buffer (~0.3s each on this environment's link), so
     everything rides as TWO uploads and ONE readback:
 
-      ops4        (4, K) int32   rows [ref_start, query_start, length] of
-                                 the match-op table (~read-count-scale K);
-                                 row 3's first 8 slots carry the scalar
-                                 params [n_real, min_base_qual, min_depth,
-                                 af_num, af_den, hom_num, hom_den, min_alt]
-      payload_ref (ns+L,) uint8  first ns bytes: min(qual, 31) << 3 | base
-                                 per read base (1 B/base; exact for
-                                 min_base_qual <= 31 — the driver guards
-                                 that); last L bytes: reference codes with
-                                 4 = never-call padding
+      ops4        (4, K) int32   rows [ref_start, query_start (NIBBLE
+                                 index), length] of the match-op table
+                                 (~read-count-scale K); row 3's first 8
+                                 slots carry the scalar params [n_real,
+                                 unused, min_depth, af_num, af_den,
+                                 hom_num, hom_den, min_alt]
+      payload_ref (ns/2+L,) u8   first ns/2 bytes: 4-bit NIBBLES, one per
+                                 read base — bits 0-2 the base code, bit
+                                 3 the HOST-evaluated qual-pass predicate
+                                 (qual >= min_base_qual).  The kernel
+                                 only ever compares qual against the
+                                 floor, so the predicate bit is exact for
+                                 ANY min_base_qual and the payload is
+                                 half the bytes of a qual+base byte
+                                 stream (round 5; it also removes the old
+                                 min_base_qual <= 31 device limitation).
+                                 Last L bytes: reference codes with 4 =
+                                 never-call padding
 
     Expansion is one cumsum+searchsorted lane->op mapping plus gathers
     over a static `total` — the exact math of the host
@@ -96,12 +104,12 @@ def _packed_impl(ops4, payload_ref, *, total: int, length: int,
                  max_sites: int):
     op_ref, op_q, op_len = ops4[0], ops4[1], ops4[2]
     params = ops4[3]
-    n_real, min_base_qual, min_depth = params[0], params[1], params[2]
+    n_real, min_depth = params[0], params[2]
     af_num, af_den, hom_num, hom_den, min_alt = (
         params[3], params[4], params[5], params[6], params[7])
-    ns = payload_ref.shape[0] - length
-    payload = payload_ref[:ns]
-    ref_codes = payload_ref[ns:]
+    nb = payload_ref.shape[0] - length
+    payload = payload_ref[:nb]
+    ref_codes = payload_ref[nb:]
     # lane -> op mapping computed ONCE and CHEAPLY: mark each op's first
     # lane with a K-element scatter-add (duplicates from zero-length ops
     # stack; the out-of-bounds pad-op starts drop per XLA scatter
@@ -117,10 +125,10 @@ def _packed_impl(ops4, payload_ref, *, total: int, length: int,
     within = lane - (cum[seg] - op_len[seg])
     pos = op_ref[seg] + within
     qidx = op_q[seg] + within
-    p = payload[qidx].astype(jnp.int32)
-    base = p & 7
-    q = p >> 3
-    keep = (base < 4) & (q >= min_base_qual) & (lane < n_real)
+    byte = payload[qidx >> 1].astype(jnp.int32)
+    nib = (byte >> ((qidx & 1) << 2)) & 0xF
+    base = nib & 7
+    keep = (base < 4) & ((nib >> 3) > 0) & (lane < n_real)
     key = jnp.where(keep, pos * 4 + base, length * 4)
     sk = jnp.sort(key)
     bounds = jnp.searchsorted(sk, jnp.arange(length * 4 + 1, dtype=key.dtype))

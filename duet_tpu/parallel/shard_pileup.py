@@ -69,9 +69,8 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
     same ContigSnps, computed with each mesh device owning one coordinate
     window.  Bit-identical (windowed counting cannot change any site's
     counts; the tests pin it).  Falls back to the bit-identical host
-    caller for min_base_qual > 31 (the packed payload's qual clip bound),
-    for per-shard windows above DEVICE_PILEUP_WINDOW (the count image
-    would be multi-GB per device), and for payloads at the int32
+    caller for per-shard windows above DEVICE_PILEUP_WINDOW (the count
+    image would be multi-GB per device) and for payloads at the int32
     exactness bound — the same guards the single-device driver carries —
     and recounts any compaction-overflow window on the host."""
     from duet_tpu.models.snp_caller import (
@@ -80,7 +79,8 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
         _as_rational,
         _assemble_snps,
         _host_window,
-        _pack_payload,
+        _nibble_pack,
+        _pack_codes,
         call_snps,
         count_alleles,
         match_op_table,
@@ -95,7 +95,7 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
         return call_snps(contig, counts, ref_codes, cfg)
 
     L = len(ref_codes)
-    if cfg.min_base_qual > 31 or L == 0:
+    if L == 0:
         return host_fallback()
 
     op_ref, op_q, op_len, _ = match_op_table(cr, cfg.min_mapq)
@@ -138,7 +138,8 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
             b1 = int((q0 + ln).max())
         else:
             b0 = b1 = 0
-        packed = _pack_payload(cr.seq[b0:b1], cr.qual[b0:b1])
+        packed = _pack_codes(cr.seq[b0:b1], cr.qual[b0:b1],
+                             cfg.min_base_qual)
         shards.append((st - lo, q0 - b0, ln, packed, lo, hi))
 
     if max(len(s[3]) for s in shards) >= 1 << 30:
@@ -150,11 +151,14 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
     totals = [int(ln.sum()) for _, _, ln, _, _, _ in shards]
     total_pad = _pow2(max(max(totals), 1))
     ops_pad = max(_pow2(max(len(s[2]) for s in shards) + 1), 1 << 12)
-    ns_pad = max(_pow2(max(max(len(s[3]) for s in shards), 1)), total_pad)
+    # ns_pad counts BASES (nibbles); the payload rows carry ns_pad // 2
+    # packed bytes + the shard's reference window
+    ns_pad = max(_pow2(max(max(len(s[3]) for s in shards), 1)), total_pad,
+                 2)
 
     ops4_all = np.zeros((n_shards, 4, ops_pad), np.int32)
-    payload_all = np.zeros((n_shards, ns_pad + Lw), np.uint8)
-    payload_all[:, ns_pad:] = 4              # ref=4 padding never calls
+    payload_all = np.zeros((n_shards, ns_pad // 2 + Lw), np.uint8)
+    payload_all[:, ns_pad // 2:] = 4         # ref=4 padding never calls
     for s, (rw, q0, ln, packed, lo, hi) in enumerate(shards):
         n_ops = len(ln)
         ops4_all[s, 0, :n_ops] = rw
@@ -163,11 +167,12 @@ def call_snps_sharded(mesh, contig: str, cr, ref_codes: np.ndarray, cfg,
         # tail op absorbs the pad lanes (masked via n_real; gathers stay
         # inside payload because ns_pad >= total_pad)
         ops4_all[s, 2, n_ops] = total_pad - totals[s]
-        ops4_all[s, 3, :8] = (totals[s], cfg.min_base_qual, cfg.min_depth,
+        ops4_all[s, 3, :8] = (totals[s], 0, cfg.min_depth,
                               af_num, af_den, hom_num, hom_den,
                               cfg.min_alt_reads)
-        payload_all[s, : len(packed)] = packed
-        payload_all[s, ns_pad: ns_pad + (hi - lo)] = ref_codes[lo:hi]
+        _nibble_pack(packed, payload_all[s])
+        payload_all[s, ns_pad // 2: ns_pad // 2 + (hi - lo)] = \
+            ref_codes[lo:hi]
 
     dispatch.record("snp_pileup", "mesh")
     sh3 = NamedSharding(mesh, P(axis, None, None))

@@ -154,9 +154,11 @@ def test_past_end_observation_raises_host_and_device():
         call_snps_device("c", cr, ref_codes, cfg)
 
 
-def test_device_high_qual_floor_falls_back_to_host():
-    """min_base_qual > 31 cannot ride the 5-bit packed payload; the device
-    entry silently runs the bit-identical host caller instead."""
+def test_device_high_qual_floor_matches_host():
+    """Any min_base_qual rides the nibble payload's host-evaluated pass
+    bit (round 5; the old byte payload clipped quals at 31 and fell back
+    to the host above that) — device output stays bit-identical to the
+    host caller at a floor of 35."""
     from duet_tpu.models.snp_caller import call_snps_any, call_snps_device
     from duet_tpu.utils import dispatch
 
@@ -170,9 +172,11 @@ def test_device_high_qual_floor_falls_back_to_host():
     cr = reads_from_observations(positions, bases, quals)
     dispatch.reset()
     dev = call_snps_device("c", cr, ref_codes, cfg)
-    assert dispatch.snapshot().get("snp_pileup", {}).get("device", 0) == 0
+    assert dispatch.snapshot().get("snp_pileup", {}).get("device", 0) == 1
     np.testing.assert_array_equal(dev.pos, host.pos)
     np.testing.assert_array_equal(dev.alt_count, host.alt_count)
+    np.testing.assert_array_equal(dev.is_het, host.is_het)
+    np.testing.assert_array_equal(dev.depth, host.depth)
 
 
 def test_device_site_compaction_overflow_falls_back():
