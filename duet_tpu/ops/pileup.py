@@ -30,18 +30,33 @@ def pileup_counts(positions, bases, quals, length: int, min_base_qual):
     bases/quals arrive uint8 (6 B/observation over the host->device link
     instead of 12); widening happens on device.
 
-    Counting is SORT + SEARCHSORTED, not scatter-add: XLA lowers
-    `.at[].add` to a serialized scatter on TPU (~0.5 us/element — measured
-    to dominate the whole forced-device pileup, docs/SCALING.md), while
-    sort and batched binary search are parallel-friendly.  Dropped
-    observations key to the 4L sentinel, which sorts past every bin
-    boundary.  Bit-identical to the scatter formulation and to the host
-    bincount: integer counting has one answer."""
+    Counting is a SCATTER-ADD histogram since round 5 (_hist_counts has
+    the measured on-chip numbers; the earlier sort+searchsorted
+    formulation's boundary queries dominated the kernel).  Dropped
+    observations key to the 4L sentinel bin, which is sliced away.
+    Bit-identical to the sort formulation and to the host bincount:
+    integer counting has one answer."""
     keep = (bases < 4) & (quals.astype(jnp.int32) >= min_base_qual)
     key = jnp.where(keep, positions * 4 + bases.astype(jnp.int32), length * 4)
-    sk = jnp.sort(key)
-    bounds = jnp.searchsorted(sk, jnp.arange(length * 4 + 1, dtype=key.dtype))
-    return jnp.diff(bounds).astype(jnp.int32).reshape(length, 4)
+    return _hist_counts(key, length)
+
+
+def _hist_counts(key, length: int):
+    """(length, 4) int32 histogram of `key` = pos*4 + base, with dropped
+    observations keyed to the length*4 sentinel bin (sliced away).
+
+    SCATTER-ADD, not sort+searchsorted (round 5): at the production shape
+    (33.5M int32 keys into 2^23 bins) the chip measures the scatter
+    histogram at 0.39 s where sort(0.11 s) + searchsorted-diff(4.0 s)
+    costs 4.2 s — the searchsorted's 25 binary-search steps x 8.4M
+    boundary queries gather ~200M scattered elements and dominate the
+    whole kernel.  The round-2 note "XLA scatter-add is serialized on TPU
+    (~0.5 us/element)" does not hold for THIS op at THIS shape on the
+    current toolchain (int32 1-increment scatter); results are
+    bit-identical (integer counting has one answer) and value-equality
+    was verified on-chip before the switch (docs/TPU_RUNS.md round 5)."""
+    counts = jnp.zeros(length * 4 + 1, jnp.int32).at[key].add(1)
+    return counts[: length * 4].reshape(length, 4)
 
 
 def packed_window_body(ops4, payload_ref, *, total: int, length: int,
@@ -130,9 +145,7 @@ def _packed_impl(ops4, payload_ref, *, total: int, length: int,
     base = nib & 7
     keep = (base < 4) & ((nib >> 3) > 0) & (lane < n_real)
     key = jnp.where(keep, pos * 4 + base, length * 4)
-    sk = jnp.sort(key)
-    bounds = jnp.searchsorted(sk, jnp.arange(length * 4 + 1, dtype=key.dtype))
-    counts = jnp.diff(bounds).astype(jnp.int32).reshape(length, 4)
+    counts = _hist_counts(key, length)
     is_site, is_het, alt_code, depth, alt_count = call_sites(
         counts, ref_codes, min_depth, af_num, af_den, hom_num, hom_den,
         min_alt)
