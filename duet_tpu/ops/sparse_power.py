@@ -47,29 +47,24 @@ def _refine(row, col, av, phase0, covered, sweeps: int, n_reads: int,
             n_sites: int):
     """row/col padded with sentinel n_reads / n_sites (one junk segment).
 
-    Scatter-free: entries arrive COLUMN-sorted (the allele matrix's
-    natural order), one device sort by row yields the row-major
-    permutation, and both per-sweep reductions become int32 cumulative
-    sums differenced at searchsorted bounds (see _score for why scatter
-    is the wrong primitive on TPU and why int32 sums are exact here)."""
+    SCATTER-ADD segment sums since round 5: both per-sweep reductions are
+    plain `.at[idx].add(vals)` into (n+1)-bin accumulators (the sentinel
+    lands in the junk bin).  The earlier sort + cumsum + searchsorted
+    formulation existed to avoid TPU scatter, but the on-chip measurement
+    behind _score's rewrite shows int32 scatter-add beating the
+    boundary-query pass by ~8x at production shapes — and the scatter
+    form needs no sorts at all.  Exactness: per-BIN int32 sums are
+    bounded by a single read's/site's weighted degree (<= 40 x
+    observations on that read/site), orders of magnitude below the old
+    global-cumsum bound."""
     av32 = av.astype(jnp.int32)
-    idx = jnp.arange(row.shape[0], dtype=jnp.int32)
-    row_s, perm_r = jax.lax.sort((row, idx), num_keys=1)
-    col_s, perm_c = jax.lax.sort((col, idx), num_keys=1)
-    av_r, col_r = av32[perm_r], col[perm_r]
-    av_c, row_c = av32[perm_c], row[perm_c]
-    rb = jnp.searchsorted(row_s, jnp.arange(n_reads + 2, dtype=row.dtype))
-    cb = jnp.searchsorted(col_s, jnp.arange(n_sites + 2, dtype=col.dtype))
-
-    def range_sum(vals, b):
-        c = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(vals)])
-        return c[b[1:]] - c[b[:-1]]
 
     def sweep(phase, _):
         pi = phase.astype(jnp.int32)
-        s = range_sum(av_r * pi[col_r], rb)            # per-read signed score
+        s = jnp.zeros(n_reads + 1, jnp.int32).at[row].add(av32 * pi[col])
         h = jnp.sign(s)
-        v = range_sum(av_c * h[row_c], cb)[:n_sites]   # per-site votes
+        v = jnp.zeros(n_sites + 1, jnp.int32).at[col].add(
+            av32 * h[row])[:n_sites]
         new_phase = jnp.where(v > 0, 1.0, jnp.where(v < 0, -1.0, phase))
         return jnp.where(covered, new_phase, 0.0), None
 
@@ -109,9 +104,12 @@ def power_refine_device(am, phase: np.ndarray, block_id: np.ndarray,
 SLOT_K = 8       # per-read relative block slots (reads spanning more fall back)
 PC_PER_MARGIN = 10
 PC_MAX = 8100
-# int32 running sums over |allele*quality| <= 40 entries stay exact up to
-# ~53M observations; callers route larger contigs to the float64 host twins
-# (both the scorer and the refine use global int32 cumsums)
+# Since the round-5 scatter rewrite, exactness no longer depends on a
+# global cumsum (each int32 bin sums one read's/site's entries, bounded by
+# 40 x that read's observation count) — this constant now serves as a
+# BATCH-SIZE bound: it caps the nnz_pad device buffers of one launch and
+# splits multi-contig scoring batches (models.snp_phaser) at a size whose
+# memory/runtime is known-good
 INT32_EXACT_NNZ = 40_000_000
 
 
@@ -120,58 +118,45 @@ def _score(row, col, av, phase, block_id, n_reads: int, n_sites: int):
     """Sparse scoring over one contig's COO (padded; sentinel row/col index
     the junk segment).  Returns per-read (hap, pc, best_block, overflow).
 
-    SORT-CENTRIC, scatter-free: XLA lowers segment_sum to a serialized
-    scatter on TPU (~0.5 us/element — measured to dominate the device
-    path, docs/SCALING.md), so every per-read reduction here is one
-    two-key lax.sort by (read, block) followed by int32 cumulative sums
-    differenced at searchsorted segment bounds — all parallel-friendly
-    primitives.  The sort stays IN-graph deliberately: it adds no jit
-    shape (same pow2-bucketed nnz), the chip sorts 16.7M keys in ~0.07s
-    (docs/TPU_RUNS.md round 3), and a host lexsort would serialize on
-    exactly the slow host memory the device path exists to avoid.
+    SCATTER-ADD, sort-free since round 5.  The original formulation
+    avoided TPU scatter per a round-2 measurement ("segment_sum lowers to
+    a serialized ~0.5 us/element scatter"), paying a two-key sort plus
+    cumulative sums differenced at searchsorted bounds instead — but the
+    round-5 on-chip measurement at production shapes (16.7M int32 values,
+    1M reads) shows the boundary-query pass is the real cost: the
+    (n_reads+1)*SLOT_K searchsorted alone ran 1.74 s where the equivalent
+    `.at[key].add(values)` scatter runs 0.21 s, and int32 scatter-adds
+    match the old sums bit for bit (docs/TPU_RUNS.md round 5).  Per-read
+    first/last blocks come from scatter min/max, so no sort remains.
 
-    Arithmetic is EXACT: every product allele*quality*phase
-    is an integer with |.| <= 40, so int32 running sums are exact up to
-    ~53M observations per contig (far beyond any chromosome) and the
-    results match the float64 host scorer bit for bit."""
+    Arithmetic is EXACT: every product allele*quality*phase is an integer
+    with |.| <= 40 and each accumulator bin only ever sums ONE read's (or
+    one (read, slot)'s) entries, so int32 bins are exact to ~53M
+    observations PER READ — far beyond any data."""
     pv = phase[col]                       # int32 in {-1, 0, +1}
     v = av * pv
     absav = jnp.abs(av)
     inf = absav * (pv != 0)
     blk = block_id[col]
-    row_s, blk_s, v_s, inf_s, absav_s = jax.lax.sort(
-        (row, blk, v, inf, absav), num_keys=2)
+    R1 = n_reads + 1                      # + the junk bin (sentinel rows)
 
-    # per-read ranges in the sorted order
-    rb = jnp.searchsorted(row_s, jnp.arange(n_reads + 2, dtype=row.dtype))
-    lo, hi = rb[:-1], rb[1:]
-    has = hi > lo
-    last = jnp.maximum(hi - 1, 0)
-    nnz_pad = row.shape[0]
-    safe_lo = jnp.minimum(lo, nnz_pad - 1)
-
-    def range_sum(vals):
-        c = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                             jnp.cumsum(vals.astype(jnp.int32))])
-        return c[hi] - c[lo]
-
-    signed = range_sum(v_s)
-    total = range_sum(inf_s)
+    signed = jnp.zeros(R1, jnp.int32).at[row].add(v)
+    total = jnp.zeros(R1, jnp.int32).at[row].add(inf)
+    cnt = jnp.zeros(R1, jnp.int32).at[row].add(1)
+    has = cnt > 0
     # blocks are intervals of the site axis, so a read's candidate blocks
-    # are the contiguous [first, last] of its (block-sorted) entries
-    b_lo = blk_s[safe_lo]
-    b_hi = blk_s[last]
+    # are the contiguous [min, max] of its entries' blocks
+    big = jnp.int32(1 << 30)
+    b_lo_raw = jnp.full(R1, big, jnp.int32).at[row].min(blk)
+    b_hi = jnp.full(R1, -1, jnp.int32).at[row].max(blk)
+    b_lo = jnp.where(has, b_lo_raw, 0)
     overflow = has & ((b_hi - b_lo) >= SLOT_K)
 
-    # per-(read, slot) weight sums: the (row, blk) sort makes
-    # row*SLOT_K + slot monotone, so one more cumsum + bounds suffices
-    slot = jnp.clip(blk_s - b_lo[row_s], 0, SLOT_K - 1)
-    key2 = row_s * SLOT_K + slot
-    c2 = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                          jnp.cumsum(absav_s.astype(jnp.int32))])
-    kb = jnp.searchsorted(
-        key2, jnp.arange((n_reads + 1) * SLOT_K + 1, dtype=key2.dtype))
-    blockw = (c2[kb[1:]] - c2[kb[:-1]]).reshape(n_reads + 1, SLOT_K)
+    # per-(read, slot) weight sums: one scatter into R1 x SLOT_K bins
+    slot = jnp.clip(blk - b_lo[row], 0, SLOT_K - 1)
+    key2 = row * SLOT_K + slot
+    blockw = jnp.zeros(R1 * SLOT_K, jnp.int32).at[key2].add(
+        absav).reshape(R1, SLOT_K)
     best_slot = jnp.argmax(blockw, axis=1)   # XLA: first max = earliest block
     best_block = b_lo + best_slot.astype(jnp.int32)
 
