@@ -582,8 +582,9 @@ def _haplotag_sparse_device(am: AlleleMatrix, phase: np.ndarray,
         return (np.zeros(n, dtype=np.int8), np.full(n, -1, dtype=np.int64),
                 np.full(n, -1, dtype=np.int32))
     if len(am.row) > INT32_EXACT_NNZ:
-        # int32 running sums in the kernel are exact to ~53M entries
-        # (|product| <= 40); beyond that keep the float64 host path
+        # batch-size bound, NOT exactness (the round-5 scatter kernels sum
+        # per-bin, see ops.sparse_power): caps one launch's padded device
+        # buffers at a known-good size; larger inputs take the host path
         return _haplotag(am, phase, block_id, block_ps)
     return _finish_scored(am, phase, block_id, block_ps,
                           haplotag_score_sparse(am, phase, block_id))
@@ -810,9 +811,9 @@ def phase_contig_core(cr: ContigReads, snps: ContigSnps,
         from duet_tpu.ops.sparse_power import power_refine_device as refine
 
         if len(am.row) > INT32_EXACT_NNZ:
-            # the device refine's global int32 cumsums wrap past ~53M
-            # entries; keep the float64 host iteration (same guard the
-            # sparse scorer applies in _haplotag_sparse_device)
+            # batch-size bound, NOT exactness (scatter bins sum per
+            # read/site since round 5): same launch-size cap the sparse
+            # scorer applies in _haplotag_sparse_device
             refine = _power_refine
     else:
         refine = _power_refine

@@ -54,7 +54,13 @@ def _hist_counts(key, length: int):
     (~0.5 us/element)" does not hold for THIS op at THIS shape on the
     current toolchain (int32 1-increment scatter); results are
     bit-identical (integer counting has one answer) and value-equality
-    was verified on-chip before the switch (docs/TPU_RUNS.md round 5)."""
+    was verified on-chip before the switch (docs/TPU_RUNS.md round 5).
+
+    Negative keys (malformed caller input) are routed to the sentinel bin
+    explicitly: JAX's wrap-around indexing would otherwise fold them into
+    real (pos, base) cells, where the old sort form dropped them and the
+    host bincount raises."""
+    key = jnp.where(key < 0, length * 4, key)
     counts = jnp.zeros(length * 4 + 1, jnp.int32).at[key].add(1)
     return counts[: length * 4].reshape(length, 4)
 

@@ -142,13 +142,15 @@ def _score(row, col, av, phase, block_id, n_reads: int, n_sites: int):
 
     signed = jnp.zeros(R1, jnp.int32).at[row].add(v)
     total = jnp.zeros(R1, jnp.int32).at[row].add(inf)
-    cnt = jnp.zeros(R1, jnp.int32).at[row].add(1)
-    has = cnt > 0
     # blocks are intervals of the site axis, so a read's candidate blocks
-    # are the contiguous [min, max] of its entries' blocks
+    # are the contiguous [min, max] of its entries' blocks.  Block ids in
+    # col are always >= 0 (covered sites; the "-1 never appears in col"
+    # invariant b_lo/slot already rely on), so the max-scatter's -1
+    # sentinel doubles as the has-entries mask — no separate count pass.
     big = jnp.int32(1 << 30)
     b_lo_raw = jnp.full(R1, big, jnp.int32).at[row].min(blk)
     b_hi = jnp.full(R1, -1, jnp.int32).at[row].max(blk)
+    has = b_hi >= 0
     b_lo = jnp.where(has, b_lo_raw, 0)
     overflow = has & ((b_hi - b_lo) >= SLOT_K)
 
