@@ -61,6 +61,10 @@ Why those thresholds — the crossover, derived (replaces the round-2/3
 The result is cached for the process.  Callers only probe when an
 accelerator backend is live and a gate decision is actually pending, so
 CPU runs and sub-gate inputs never pay it.
+
+Reference analogue: the -t/threads operating point the reference asks its
+user to pick by hand (/root/reference/src/duet/utils.py:23) — here the
+machine picks its own operating point from a measurement.
 """
 
 from __future__ import annotations
