@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from duet_tpu.io.readstore import ContigReads, ReadStore, aligned_segments
+from duet_tpu.io.readstore import ContigReads, ReadStore
 from duet_tpu.io.vcf import write_vcf
 
 BASES = "ACGT"
